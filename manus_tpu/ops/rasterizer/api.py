@@ -1,0 +1,159 @@
+"""Public differentiable rendering API.
+
+Mirrors the reference render bridge contract
+(/root/reference/src/utils/gaussian_utils.py:349-449): precomputed 3D
+covariances + precomputed (or SH-evaluated) colors go in, an [H, W, 3]
+image and per-gaussian visibility/radii come out, and gradients flow to
+means, covariances, colors and opacities. The densification "viewspace
+gradient" signal is exposed functionally: pass a zeros [N, 2]
+`means2d_offset` and differentiate the loss w.r.t. it (the reference's
+means2D.retain_grad() trick, but functional).
+
+Backends:
+  * "oracle": dense per-pixel jnp compositing (tiny scenes, ground truth)
+  * "xla":    binned tiles, lax.scan compositing (portable, differentiable)
+  * "pallas": binned tiles, Pallas TPU kernel with per-tile early exit
+  * "auto":   pallas on TPU, xla elsewhere
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from manus_tpu.ops.rasterizer import oracle as oracle_mod
+from manus_tpu.ops.rasterizer import payload as payload_mod
+from manus_tpu.ops.rasterizer import tiled_xla
+from manus_tpu.ops.rasterizer.binning import bin_gaussians
+from manus_tpu.ops.rasterizer.projection import TILE, project_gaussians
+from manus_tpu.utils import sh as sh_mod
+from manus_tpu.utils.camera import Camera
+from manus_tpu.utils.transforms import homogenize_points
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer configuration (hashable; safe as a jit static)."""
+
+    tg_max: int = 64  # max tiles per gaussian in binning
+    chunk: int = 64  # pairs per compositing chunk
+    max_pairs_per_tile: int = 4096  # static cap (xla backend only)
+    backend: str = "auto"
+    lane_align: int = 128
+
+
+class RenderOutput(NamedTuple):
+    render: jax.Array  # [H, W, 3]
+    radii: jax.Array  # [N] int32
+    visible: jax.Array  # [N] bool  (radii > 0)
+    t_final: jax.Array  # [H, W] final transmittance
+    overflow: jax.Array  # [] int32 pairs dropped by tg_max truncation
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def calculate_colors_from_sh(
+    posed_means: jax.Array,
+    cano_features: jax.Array,  # [N, K, 3] (dc first, reference layout)
+    cano_means: jax.Array,
+    camera: Camera,
+    sh_degree: int,
+    tf: Optional[jax.Array] = None,
+) -> jax.Array:
+    """View-dependent RGB from SH; canonical-space view dirs when articulated.
+
+    Matches reference gaussian_utils.py:431-449: for articulated models the
+    camera center is pulled back through inv(tf) per gaussian so SH
+    coefficients stay pose-invariant.
+    """
+    shs = jnp.swapaxes(cano_features, -1, -2)  # [N, 3, K]
+    if tf is not None:
+        cam_h = homogenize_points(
+            jnp.broadcast_to(camera.camera_center, cano_means.shape)
+        )
+        cam_inv = jnp.einsum("nij,nj->ni", jnp.linalg.inv(tf), cam_h)[..., :3]
+        dirs = cano_means - cam_inv
+    else:
+        dirs = posed_means - camera.camera_center
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rgb = sh_mod.eval_sh(sh_degree, shs, dirs)
+    return jnp.maximum(rgb + 0.5, 0.0)
+
+
+def render_gaussians(
+    posed_means: jax.Array,  # [N, 3]
+    posed_cov: jax.Array,  # [N, 6] upper-tri
+    cano_means: jax.Array,  # [N, 3] (SH view dirs for articulated models)
+    cano_features: jax.Array,  # [N, K, 3] SH coeffs
+    cano_opacity: jax.Array,  # [N, 1] or [N]
+    camera: Camera,
+    bg_color: jax.Array,  # [3]
+    colors_precomp: Optional[jax.Array] = None,
+    sh_degree: int = 3,
+    tf: Optional[jax.Array] = None,
+    active: Optional[jax.Array] = None,
+    means2d_offset: Optional[jax.Array] = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutput:
+    """Differentiable 3D Gaussian splat render. See module docstring."""
+    n = posed_means.shape[0]
+    opacity = cano_opacity.reshape(n)
+    if colors_precomp is None:
+        colors = calculate_colors_from_sh(
+            posed_means, cano_features, cano_means, camera, sh_degree, tf
+        )
+    else:
+        colors = colors_precomp
+
+    proj = project_gaussians(posed_means, posed_cov, camera, active=active)
+    if means2d_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
+
+    backend = _resolve_backend(config.backend)
+    w, h = camera.width, camera.height
+    bg = jnp.asarray(bg_color, posed_means.dtype)
+
+    if backend == "oracle":
+        # Dense path needs H divisible by its row chunk; pick a divisor.
+        row_chunk = 16 if h % 16 == 0 else (8 if h % 8 == 0 else 1)
+        img, t_final = oracle_mod.render_oracle(
+            proj, colors, opacity, bg, w, h, row_chunk=row_chunk
+        )
+        overflow = jnp.zeros((), jnp.int32)
+    else:
+        ntx = (w + TILE - 1) // TILE
+        nty = (h + TILE - 1) // TILE
+        bins = bin_gaussians(
+            proj, ntx, nty, config.tg_max, lane_align=config.lane_align
+        )
+        pay = payload_mod.build_payload(proj, colors, opacity, bins)
+        if backend == "pallas":
+            from manus_tpu.ops.rasterizer import pallas_backend
+
+            rgb_tiles, t_tiles = pallas_backend.composite_tiles_pallas(
+                pay, bins.tile_offsets, bins.tile_counts, ntx, nty,
+                tile=TILE, chunk=config.chunk,
+            )
+        elif backend == "xla":
+            rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(
+                pay, bins, ntx, nty, TILE, config.max_pairs_per_tile,
+                chunk=config.chunk,
+            )
+        else:
+            raise ValueError(f"unknown backend {backend}")
+        img, t_final = tiled_xla.tiles_to_image(
+            rgb_tiles, t_tiles, bg, ntx, nty, TILE, w, h
+        )
+        overflow = bins.overflow_count
+
+    return RenderOutput(
+        render=img,
+        radii=proj.radius,
+        visible=proj.visible,
+        t_final=jax.lax.stop_gradient(t_final),
+        overflow=overflow,
+    )

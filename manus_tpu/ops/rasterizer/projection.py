@@ -1,0 +1,144 @@
+"""Gaussian projection: world-space means + 3D covariances -> screen space.
+
+Implements the upstream-3DGS forward projection contract consumed by the
+reference through `diff-gaussian-rasterization` (see SURVEY.md section 3.4
+and /root/reference/src/utils/gaussian_utils.py:349-428):
+
+  * row-vector view/proj transforms (p_row @ M),
+  * frustum cull at view-space z <= 0.2,
+  * EWA 2D covariance  cov2d = J R Sigma R^T J^T  with the 1.3*tanfov
+    clamp on view-space x/z, y/z and the +0.3 screen-space dilation,
+  * conic (inverse cov2d), 3-sigma radius from the max eigenvalue,
+  * NDC -> pixel mapping ((v+1)*S - 1)/2.
+
+Everything is batched [N] jnp so XLA vectorises it; the whole stage is
+differentiable (radius/tile outputs are stop-gradiented — they only steer
+binning, matching the CUDA kernel which does not differentiate them).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manus_tpu.utils.camera import Camera
+from manus_tpu.utils.transforms import build_symmetric, homogenize_points
+
+FRUSTUM_NEAR_Z = 0.2
+COV2D_DILATION = 0.3
+TILE = 16  # pixels per tile side (matches upstream 3DGS binning granularity)
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities, all [N, ...]."""
+
+    means2d: jax.Array  # [N, 2] pixel coords
+    conic: jax.Array  # [N, 3] inverse 2D covariance (a, b, c): [[a,b],[b,c]]
+    depth: jax.Array  # [N] view-space z
+    radius: jax.Array  # [N] int32 3-sigma pixel radius (0 => culled)
+    tile_rect: jax.Array  # [N, 4] int32 (tx0, ty0, tx1, ty1), exclusive max
+    visible: jax.Array  # [N] bool: touches >=1 tile
+
+
+def project_gaussians(
+    means3d: jax.Array,
+    cov3d: jax.Array,
+    camera: Camera,
+    active: jax.Array | None = None,
+) -> ProjectedGaussians:
+    """Project [N, 3] means and [N, 6] upper-tri covariances.
+
+    `active` masks out padded slots (treated as culled).
+    """
+    n = means3d.shape[0]
+    w, h = camera.width, camera.height
+    tanfovx, tanfovy = camera.tanfovx, camera.tanfovy
+    focal_x = w / (2.0 * tanfovx)
+    focal_y = h / (2.0 * tanfovy)
+
+    p_h = homogenize_points(means3d)  # [N, 4]
+    p_view = p_h @ camera.world_view_transform  # row-vector convention
+    p_hom = p_h @ camera.full_proj_transform
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    in_frustum = p_view[:, 2] > FRUSTUM_NEAR_Z
+    depth = p_view[:, 2]
+    depth_safe = jnp.where(in_frustum, depth, 1.0)
+
+    # EWA: clamp the view-space direction to 1.3x the frustum, then build the
+    # 2x3 perspective Jacobian.
+    txtz = jnp.clip(p_view[:, 0] / depth_safe, -1.3 * tanfovx, 1.3 * tanfovx)
+    tytz = jnp.clip(p_view[:, 1] / depth_safe, -1.3 * tanfovy, 1.3 * tanfovy)
+    tx = txtz * depth_safe
+    ty = tytz * depth_safe
+    tz = depth_safe
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
+            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 2, 3]
+    R = camera.extr[:3, :3]  # world -> camera rotation
+    Sigma = build_symmetric(cov3d)  # [N, 3, 3]
+    JR = J @ R  # [N, 2, 3]
+    cov2d = JR @ Sigma @ jnp.swapaxes(JR, -1, -2)  # [N, 2, 2]
+    cxx = cov2d[:, 0, 0] + COV2D_DILATION
+    cxy = cov2d[:, 0, 1]
+    cyy = cov2d[:, 1, 1] + COV2D_DILATION
+
+    det = cxx * cyy - cxy * cxy
+    det_ok = det != 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
+
+    mid = 0.5 * (cxx + cyy)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    # Pixel centers sit at integer coordinates (upstream ndc2Pix).
+    means2d = jnp.stack(
+        [
+            ((p_proj[:, 0] + 1.0) * w - 1.0) * 0.5,
+            ((p_proj[:, 1] + 1.0) * h - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    valid = in_frustum & det_ok
+    if active is not None:
+        valid = valid & active
+
+    # Tile AABB, clamped to the grid; a gaussian touching zero tiles is
+    # culled (radius forced to 0), matching upstream getRect + "tiles==0".
+    grid_x = (w + TILE - 1) // TILE
+    grid_y = (h + TILE - 1) // TILE
+    m2d = jax.lax.stop_gradient(means2d)
+    r = jax.lax.stop_gradient(radius_f)
+    tx0 = jnp.clip(((m2d[:, 0] - r) / TILE).astype(jnp.int32), 0, grid_x)
+    ty0 = jnp.clip(((m2d[:, 1] - r) / TILE).astype(jnp.int32), 0, grid_y)
+    tx1 = jnp.clip(
+        ((m2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
+    )
+    ty1 = jnp.clip(
+        ((m2d[:, 1] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
+    )
+    touches = (tx1 - tx0) * (ty1 - ty0) > 0
+    visible = valid & touches
+    radius = jnp.where(visible, r, 0.0).astype(jnp.int32)
+    tile_rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        conic=conic,
+        depth=depth,
+        radius=jax.lax.stop_gradient(radius),
+        tile_rect=jax.lax.stop_gradient(tile_rect),
+        visible=jax.lax.stop_gradient(visible),
+    )

@@ -1,0 +1,139 @@
+"""Image losses and metrics: L1/L2, windowed SSIM, PSNR, isotropy regularizer.
+
+Numerics match /root/reference/src/utils/loss_utils.py (Gaussian 11x11
+window, sigma 1.5, C1=0.01^2, C2=0.03^2, same zero padding) so PSNR/SSIM
+numbers are comparable with the reference runs. Images are [H, W, C] (the
+layout our renderer emits) or [..., H, W, C].
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jax.Array, gt: jax.Array, mean: bool = True) -> jax.Array:
+    loss = jnp.abs(pred - gt)
+    return loss.mean() if mean else loss
+
+
+def l2_loss(pred: jax.Array, gt: jax.Array, mean: bool = True) -> jax.Array:
+    loss = (pred - gt) ** 2
+    return loss.mean() if mean else loss
+
+
+def psnr(pred: jax.Array, gt: jax.Array, valid_mask=None) -> jax.Array:
+    """-10 log10(MSE). Matches reference loss_utils.py:100-108."""
+    value = (pred - gt) ** 2
+    if valid_mask is not None:
+        value = jnp.where(valid_mask, value, 0.0)
+        denom = jnp.maximum(jnp.sum(valid_mask), 1)
+        mse = jnp.sum(value) / denom
+    else:
+        mse = jnp.mean(value)
+    return -10.0 * jnp.log10(mse)
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    """Separable 2D Gaussian window, normalised (loss_utils.py:38-54)."""
+    g = np.exp(
+        -((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2)
+    )
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return w2d
+
+
+def _depthwise_blur(img: jax.Array, window: jax.Array) -> jax.Array:
+    """Per-channel 2D convolution with zero padding window//2.
+
+    img: [H, W, C]. Uses a grouped lax conv so XLA maps it to the MXU.
+    """
+    c = img.shape[-1]
+    ws = window.shape[0]
+    x = img[None].transpose(0, 3, 1, 2)  # [1, C, H, W]
+    kernel = jnp.broadcast_to(window[None, None], (c, 1, ws, ws))
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(ws // 2, ws // 2)] * 2,
+        feature_group_count=c,
+    )
+    return out[0].transpose(1, 2, 0)
+
+
+def ssim(
+    img1: jax.Array, img2: jax.Array, window_size: int = 11, sigma: float = 1.5
+) -> jax.Array:
+    """Mean SSIM over the image, reference semantics (loss_utils.py:57-97).
+
+    img1/img2: [H, W, C] in [0, 1].
+    """
+    window = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
+    mu1 = _depthwise_blur(img1, window)
+    mu2 = _depthwise_blur(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return ssim_map.mean()
+
+
+def isotropic_regularizer(
+    scaling: jax.Array, condition_number: float, active=None
+) -> jax.Array:
+    """mean((min_scale/max_scale - target_condition)^2) over active slots.
+
+    Matches reference base.py:349-356. scaling: [N, 3] activated scales.
+    """
+    max_scale = jnp.max(scaling, axis=1)
+    min_scale = jnp.min(scaling, axis=1)
+    per_pt = (min_scale / (max_scale + 1e-8) - condition_number) ** 2
+    if active is None:
+        return per_pt.mean()
+    per_pt = jnp.where(active, per_pt, 0.0)
+    return jnp.sum(per_pt) / jnp.maximum(jnp.sum(active), 1)
+
+
+def compute_losses(
+    pred_image: jax.Array,
+    gt_image: jax.Array,
+    scaling: jax.Array,
+    active: jax.Array,
+    loss_names: tuple,
+    loss_weights: tuple,
+    condition_number: float = 0.4,
+) -> tuple[jax.Array, dict]:
+    """Weighted multi-loss as in reference base.py:323-365 (minus LPIPS).
+
+    Returns (total, per_loss_dict). loss_names/weights are static tuples.
+    """
+    losses = {}
+    for name in loss_names:
+        if name == "rgb_loss":
+            losses[name] = l1_loss(pred_image, gt_image)
+        elif name == "l2_loss":
+            losses[name] = l2_loss(pred_image, gt_image)
+        elif name == "ssim_loss":
+            losses[name] = 1.0 - ssim(pred_image, gt_image)
+        elif name == "isotropic_reg":
+            losses[name] = isotropic_regularizer(scaling, condition_number, active)
+        elif name == "lpips_loss":
+            # LPIPS needs pretrained VGG weights; plugged in by the trainer
+            # when available (see train/lpips.py). Zero contribution here.
+            losses[name] = jnp.asarray(0.0, pred_image.dtype)
+        else:
+            raise ValueError(f"unknown loss {name}")
+    total = jnp.asarray(0.0, pred_image.dtype)
+    for name, w in zip(loss_names, loss_weights):
+        total = total + w * losses[name]
+    return total, losses
