@@ -36,7 +36,8 @@ class RasterConfig(NamedTuple):
     """Static rasterizer configuration (hashable; safe as a jit static)."""
 
     tg_max: int = 64  # max tiles per gaussian in binning
-    chunk: int = 64  # pairs per compositing chunk
+    chunk: int = 64  # pairs per compositing chunk (xla backend)
+    pallas_chunk: int = 128  # pairs per chunk DMA (pallas backend)
     max_pairs_per_tile: int = 4096  # static cap (xla backend only)
     backend: str = "auto"
     lane_align: int = 128
@@ -136,7 +137,7 @@ def render_gaussians(
 
             rgb_tiles, t_tiles = pallas_backend.composite_tiles_pallas(
                 pay, bins.tile_offsets, bins.tile_counts, ntx, nty,
-                tile=TILE, chunk=config.chunk,
+                tile=TILE, chunk=config.pallas_chunk,
             )
         elif backend == "xla":
             rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(

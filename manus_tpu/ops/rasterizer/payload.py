@@ -1,9 +1,11 @@
 """Pair-payload construction for the tiled raster kernels.
 
-The payload is a field-major [NUM_FIELDS, P_pad] f32 array: one column per
-(gaussian, tile) pair in aligned per-tile segments (see binning.py).
-Field-major layout means the kernels DMA [F, chunk] blocks whose rows are
-contiguous lane-aligned vectors — no transposes in the hot loop.
+The payload is a row-major [P_pad, 16] f32 array: one row per
+(gaussian, tile) pair in aligned per-tile segments (see binning.py), with
+the 9 live fields in the first columns and zero padding to 16. 16-column
+f32 rows are 64 contiguous bytes, so a [chunk, 16] block is a single
+contiguous 8KB DMA — and inside the kernel each field is a [G, 1] column
+slice that broadcasts against [1, Px] pixel rows with no transposes.
 
 Padding slots get opacity 0 so they composite as no-ops and need no masks.
 """
@@ -15,12 +17,12 @@ import jax.numpy as jnp
 from manus_tpu.ops.rasterizer.binning import TileBins
 from manus_tpu.ops.rasterizer.projection import ProjectedGaussians
 
-# Field order (rows of the payload matrix).
+# Field order (columns of the payload matrix).
 F_MEAN_X, F_MEAN_Y = 0, 1
 F_CONIC_A, F_CONIC_B, F_CONIC_C = 2, 3, 4
 F_OPACITY = 5
 F_R, F_G, F_B = 6, 7, 8
-NUM_FIELDS = 9
+NUM_FIELDS = 16  # padded to 64-byte rows
 
 
 def build_payload(
@@ -29,7 +31,7 @@ def build_payload(
     opacity: jax.Array,  # [N]
     bins: TileBins,
 ) -> jax.Array:
-    """Gather per-gaussian fields into the aligned pair layout [9, P_pad]."""
+    """Gather per-gaussian fields into the aligned pair layout [P_pad, 16]."""
     src = bins.pair_src
     ok = src >= 0
     idx = jnp.maximum(src, 0)
@@ -45,16 +47,21 @@ def build_payload(
             colors[:, 1],
             colors[:, 2],
         ],
-        axis=0,
-    )  # [9, N]
-    payload = fields[:, idx]  # [9, P_pad]
-    # Disable padding slots by zeroing opacity only (cheapest single mask).
-    payload = payload.at[F_OPACITY].set(jnp.where(ok, payload[F_OPACITY], 0.0))
-    return payload
+        axis=-1,
+    )  # [N, 9]
+    # The where() does double duty: padding slots render as no-ops (opacity
+    # 0), and — critically — its VJP blocks cotangents for invalid slots, so
+    # garbage (even NaN) in never-written gradient regions of the Pallas
+    # backward cannot leak into gaussian 0 through the clamped gather index.
+    payload = jnp.where(ok[:, None], fields[idx], 0.0)  # [P_pad, 9]
+    pad = NUM_FIELDS - payload.shape[1]
+    return jnp.concatenate(
+        [payload, jnp.zeros((payload.shape[0], pad), payload.dtype)], axis=1
+    )
 
 
 def scatter_payload_grads(
-    d_payload: jax.Array,  # [9, P_pad]
+    d_payload: jax.Array,  # [P_pad, 16]
     bins: TileBins,
     n: int,
 ):
@@ -65,15 +72,10 @@ def scatter_payload_grads(
     src = bins.pair_src
     ok = src >= 0
     idx = jnp.where(ok, src, n)  # dump invalid into an extra slot
-    d = jnp.where(ok[None, :], d_payload, 0.0)
-
-    def acc(row):
-        return jnp.zeros(n + 1, row.dtype).at[idx].add(row)[:n]
-
-    d_means2d = jnp.stack([acc(d[F_MEAN_X]), acc(d[F_MEAN_Y])], axis=-1)
-    d_conic = jnp.stack(
-        [acc(d[F_CONIC_A]), acc(d[F_CONIC_B]), acc(d[F_CONIC_C])], axis=-1
-    )
-    d_colors = jnp.stack([acc(d[F_R]), acc(d[F_G]), acc(d[F_B])], axis=-1)
-    d_opacity = acc(d[F_OPACITY])
+    d = jnp.where(ok[:, None], d_payload[:, :9], 0.0)
+    acc = jnp.zeros((n + 1, 9), d.dtype).at[idx].add(d)[:n]
+    d_means2d = acc[:, F_MEAN_X : F_MEAN_Y + 1]
+    d_conic = acc[:, F_CONIC_A : F_CONIC_C + 1]
+    d_opacity = acc[:, F_OPACITY]
+    d_colors = acc[:, F_R : F_B + 1]
     return d_means2d, d_conic, d_colors, d_opacity

@@ -134,6 +134,14 @@ def project_gaussians(
     radius = jnp.where(visible, r, 0.0).astype(jnp.int32)
     tile_rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
 
+    # Sanitize screen-space values of culled gaussians: a near-zero clip-space
+    # w produces inf means2d, and `0 * inf = nan` would poison autodiff even
+    # though the contribution is masked. Invisible slots contribute nothing,
+    # so park them at benign constants (zero cotangents flow to them).
+    vis = jax.lax.stop_gradient(visible)[:, None]
+    means2d = jnp.where(vis, means2d, 0.0)
+    conic = jnp.where(vis, conic, jnp.asarray([1.0, 0.0, 1.0], conic.dtype))
+
     return ProjectedGaussians(
         means2d=means2d,
         conic=conic,

@@ -36,7 +36,7 @@ def tile_pixel_coords(num_tiles_x: int, num_tiles_y: int, tile: int):
 
 
 def composite_tiles_xla(
-    payload: jax.Array,  # [9, P_pad]
+    payload: jax.Array,  # [P_pad, 16]
     bins: TileBins,
     num_tiles_x: int,
     num_tiles_y: int,
@@ -54,17 +54,17 @@ def composite_tiles_xla(
     px_x, px_y = tile_pixel_coords(num_tiles_x, num_tiles_y, tile)  # [T, Px]
     n_px = tile * tile
     n_chunks = max(1, -(-max_pairs_per_tile // chunk))
-    p_pad = payload.shape[1]
+    p_pad = payload.shape[0]
 
     def body(carry, k):
         log_t, accum, t_min = carry
         base = bins.tile_offsets + k * chunk  # [T]
-        cols = base[:, None] + jnp.arange(chunk)[None, :]
-        cols = jnp.clip(cols, 0, p_pad - 1)
+        rows = base[:, None] + jnp.arange(chunk)[None, :]
+        rows = jnp.clip(rows, 0, p_pad - 1)
         # In-range mask: beyond-count slots already have opacity 0, but the
         # static cap can spill into the *next* tile's segment, so mask here.
         in_seg = (jnp.arange(chunk)[None, :] + k * chunk) < bins.tile_counts[:, None]
-        f = payload[:, cols]  # [9, T, chunk]
+        f = jnp.moveaxis(payload[rows], -1, 0)  # [16, T, chunk]
         dx = px_x[:, None, :] - f[payload_mod.F_MEAN_X][:, :, None]  # [T, G, Px]
         dy = px_y[:, None, :] - f[payload_mod.F_MEAN_Y][:, :, None]
         ca = f[payload_mod.F_CONIC_A][:, :, None]
