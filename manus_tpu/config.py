@@ -1,0 +1,173 @@
+"""Dataclass config tree with dotted CLI overrides.
+
+Plays the role of the reference's Hydra/OmegaConf stack (SURVEY.md 5.6):
+three experiment roots (object / hand / composite) composing trainer,
+dataset and model options, `key.sub=value` overrides, and a config
+snapshot into the run directory — without the Hydra dependency.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+from manus_tpu.models.gaussians import GaussianOpts
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    seed: int = 42
+    max_steps: int = 10000
+    exp_name: str = "test"
+    project: str = "manus_tpu"
+    mode: str = "train"  # train | test | debug
+    log_every: int = 50
+    val_every: int = 1000
+    checkpoint_every: int = 1000
+    batch_views: int = 1  # views per step (= reference accum_iter)
+    output_dir: str = "outputs"
+    data_axis: int = 1  # data-parallel mesh size (1 = single chip)
+    log_losses: bool = True
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    kind: str = "synthetic"  # synthetic | brics_static | brics_dynamic
+    root: str = ""
+    subject: str = ""
+    width: int = 128
+    height: int = 128
+    num_cameras: int = 20
+    num_frames: int = 1  # dynamic only
+    split_ratio: float = 0.1
+    bg_color: str = "black"
+    sample_size: int = 2000  # init points (per bone for hand)
+    # hand voxel grid
+    grid_res: int = 64
+    grid_size: Tuple[float, float, float] = (1.0, 0.9, 0.6)
+    grid_offset: float = 0.0
+
+
+@dataclasses.dataclass
+class LossConfig:
+    losses: Tuple[str, ...] = ("rgb_loss", "ssim_loss", "isotropic_reg")
+    loss_weight: Tuple[float, ...] = (0.8, 0.2, 0.1)
+
+
+@dataclasses.dataclass
+class RasterOptions:
+    tg_max: int = 64
+    chunk: int = 64
+    pallas_chunk: int = 128
+    max_pairs_per_tile: int = 4096
+    backend: str = "auto"
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    workload: str = "object"  # object | hand | composite
+    capacity: int = 1 << 17  # N_max gaussian slots
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    model: GaussianOpts = dataclasses.field(default_factory=GaussianOpts)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    raster: RasterOptions = dataclasses.field(default_factory=RasterOptions)
+    # hand-specific
+    skin_init: str = "mano_init_voxel"  # or mano_init_points
+    # composite-specific
+    hand_ckpt_dir: str = ""
+    object_ckpt_dir: str = ""
+    contact_render_type: str = "results"
+    checkpoint: Optional[str] = None
+
+
+def object_config() -> ExperimentConfig:
+    """OBJ_GAUSSIAN equivalent (reference config/OBJ_GAUSSIAN.yaml +
+    scripts/train/train_object.sh hyperparameters)."""
+    cfg = ExperimentConfig(workload="object")
+    cfg.model = dataclasses.replace(
+        cfg.model, densify_grad_threshold=3e-5, sh_degree=3
+    )
+    cfg.loss = LossConfig(
+        losses=("rgb_loss", "ssim_loss", "isotropic_reg"),
+        loss_weight=(0.8, 0.2, 0.1),
+    )
+    cfg.trainer.max_steps = 10000
+    return cfg
+
+
+def hand_config() -> ExperimentConfig:
+    """HAND_GAUSSIAN equivalent (config/HAND_GAUSSIAN.yaml +
+    scripts/train/train_hands.sh)."""
+    cfg = ExperimentConfig(workload="hand")
+    cfg.loss = LossConfig(
+        losses=("rgb_loss", "ssim_loss", "isotropic_reg", "lpips_loss"),
+        loss_weight=(0.8, 0.2, 0.1, 0.1),
+    )
+    cfg.trainer.max_steps = 15000
+    cfg.dataset.sample_size = 10000
+    cfg.dataset.grid_res = 128
+    return cfg
+
+
+def composite_config() -> ExperimentConfig:
+    cfg = ExperimentConfig(workload="composite")
+    cfg.trainer.mode = "test"
+    cfg.loss = LossConfig(
+        losses=("rgb_loss", "ssim_loss"), loss_weight=(0.8, 0.2)
+    )
+    return cfg
+
+
+CONFIGS = {
+    "OBJ_GAUSSIAN": object_config,
+    "HAND_GAUSSIAN": hand_config,
+    "COMPOSITE": composite_config,
+}
+
+
+def _coerce(value: str, old: Any) -> Any:
+    if isinstance(old, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(old, int):
+        return int(value)
+    if isinstance(old, float):
+        return float(value)
+    if isinstance(old, tuple):
+        parts = [p for p in value.strip("[]()").split(",") if p]
+        elt = old[0] if old else ""
+        return tuple(type(elt)(p.strip()) for p in parts)
+    return value
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentConfig:
+    """Apply `a.b.c=value` dotted overrides in place (dataclasses are
+    mutable here by design, mirroring Hydra CLI ergonomics)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov}")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        old = getattr(obj, leaf)
+        if dataclasses.is_dataclass(obj) and obj.__dataclass_fields__[leaf].type:
+            new = _coerce(value, old)
+        else:
+            new = value
+        try:
+            object.__setattr__(obj, leaf, new)
+        except Exception:
+            setattr(obj, leaf, new)
+    return cfg
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: ExperimentConfig, path: str):
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2, default=str)

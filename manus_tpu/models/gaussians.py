@@ -50,6 +50,7 @@ class GaussianOpts:
     remove_seg_end: int = 1000
     condition_number: float = 0.4
     start_lpips_iter: int = 1000
+    skeleton_dist_threshold: float = 0.2  # hand far-point prune (m)
     # Reference quirk (SURVEY.md 3.6): spatial_lr_scale is 0, so xyz never
     # moves through its optimizer. Expose it; default keeps parity.
     spatial_lr_scale: float = 0.0

@@ -1,0 +1,87 @@
+"""Checkpointing: flat-npz pytree snapshots with "best" resolution.
+
+Counterpart of the reference's Lightning ModelCheckpoint + NaN scrubbing
+(/root/reference/main.py:61-69, src/utils/train_utils.py:165-204,
+src/utils/extra.py:203-242): every-N-step snapshots named
+step{step:06d}-loss{loss:.6f}.npz, resume by explicit path or "best"
+(lowest recorded loss, ties to latest step), and NaN-row deactivation on
+load (reactive NaN hygiene).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CKPT_RE = re.compile(r"step(\d+)-loss([-\d.einf]+)\.npz$")
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, loss: float,
+                    extra: Optional[dict] = None):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = _flatten_with_paths(state)
+    if extra:
+        for k, v in extra.items():
+            payload[f"__extra__/{k}"] = np.asarray(v)
+    path = os.path.join(ckpt_dir, f"step{step:06d}-loss{loss:.6f}.npz")
+    np.savez_compressed(path, **payload)
+    return path
+
+
+def find_best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Lowest loss, ties broken by latest step (reference extra.py:203-242)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        m = _CKPT_RE.search(name)
+        if not m:
+            continue
+        step, loss = int(m.group(1)), float(m.group(2))
+        key = (loss, -step)
+        if best is None or key < best[0]:
+            best = (key, name)
+    return os.path.join(ckpt_dir, best[1]) if best else None
+
+
+def load_checkpoint(path: str, state_template) -> Tuple[object, dict]:
+    """Restore a pytree of the template's structure; returns (state, extra)."""
+    data = np.load(path)
+    extra = {}
+    arrays = {}
+    for key in data.files:
+        if key.startswith("__extra__/"):
+            extra[key[len("__extra__/"):]] = data[key]
+        else:
+            arrays[key] = data[key]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state_template)
+    leaves = []
+    for path_elems, leaf in flat:
+        key = "/".join(str(p) for p in path_elems)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        leaves.append(jnp.asarray(arrays[key]))
+    return jax.tree_util.tree_unflatten(treedef, leaves), extra
+
+
+def scrub_nan_slots(model):
+    """Deactivate slots with non-finite parameters (reference
+    remove_nans_from_checkpoint, train_utils.py:165-190)."""
+    bad = jnp.zeros(model.active.shape, bool)
+    for leaf in jax.tree_util.tree_leaves(model.params):
+        flat = leaf.reshape(leaf.shape[0], -1)
+        bad = bad | ~jnp.all(jnp.isfinite(flat), axis=-1)
+    return model._replace(active=model.active & ~bad), jnp.sum(bad & model.active)

@@ -1,0 +1,244 @@
+"""Host-side training loop: batching, topology-event cadence, validation,
+CSV metrics, checkpoints.
+
+Drives the jitted workload steps (train/workloads.py) at the reference
+cadences (/root/reference/src/utils/gaussian_utils.py:451-502, main.py):
+densify every `densification_interval` steps inside the densify window,
+opacity reset every `opacity_reset_interval` (plus the white-background
+special case), validation + checkpoint on their own intervals.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manus_tpu.config import ExperimentConfig
+from manus_tpu.train import checkpoint as ckpt_mod
+from manus_tpu.train.workloads import (
+    TrainState,
+    VoxelGrid,
+    init_train_state,
+    make_densify_step,
+    make_eval_step,
+    make_train_step,
+)
+from manus_tpu.utils.camera import index_camera
+
+
+class MetricsCSV:
+    """val_results.csv-style logger (reference loss_utils.py:120-136)."""
+
+    def __init__(self, path: str, header):
+        self.path = path
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            with open(path, "w", newline="") as f:
+                csv.writer(f).writerow(header)
+
+    def write(self, row):
+        with open(self.path, "a", newline="") as f:
+            csv.writer(f).writerow(row)
+
+
+class Trainer:
+    """Single-workload trainer (object or hand)."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        dataset,
+        model,
+        articulated: bool,
+        voxel_grid: Optional[VoxelGrid] = None,
+        out_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.articulated = articulated
+        self.voxel_grid = voxel_grid
+        self.out_dir = out_dir or os.path.join(
+            cfg.trainer.output_dir, cfg.trainer.project,
+            cfg.dataset.subject or "synthetic", cfg.trainer.exp_name,
+        )
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.ckpt_dir = os.path.join(self.out_dir, "checkpoints")
+
+        self.state = init_train_state(model, seed=cfg.trainer.seed)
+        self.train_step = make_train_step(
+            cfg, dataset.extent, articulated, voxel_grid
+        )
+        self.densify_step, self.opacity_reset = make_densify_step(
+            cfg, dataset.extent
+        )
+        self.eval_step = make_eval_step(cfg, articulated, voxel_grid)
+        self.val_csv = MetricsCSV(
+            os.path.join(self.out_dir, "results", "val_results.csv"),
+            ["name", "step", "psnr", "ssim", "lpips", "rendering_time"],
+        )
+        self.train_csv = MetricsCSV(
+            os.path.join(self.out_dir, "logs", "train_metrics.csv"),
+            ["step", "loss", "psnr", "num_active", "iters_per_s"],
+        )
+        self._rng = np.random.RandomState(cfg.trainer.seed)
+        self.bg = (
+            np.ones(3, np.float32)
+            if cfg.dataset.bg_color == "white"
+            else np.zeros(3, np.float32)
+        )
+
+    # ---- batching -------------------------------------------------------
+    def sample_batch(self):
+        v = self.cfg.trainer.batch_views
+        ds = self.dataset
+        if self.articulated:
+            f = self._rng.randint(0, ds.num_frames)
+            views = self._rng.randint(0, ds.num_views, size=v)
+            batch = {
+                "rgb": jnp.asarray(ds.images[f, views]),
+                "mask": jnp.asarray(ds.masks[f, views], jnp.float32),
+                "cameras": index_camera(ds.cameras, views),
+                "bg": jnp.asarray(self.bg),
+                "bone_tf": self._bone_tf(f),
+                "keypoints": jnp.asarray(ds.bones_posed[f].keypoints()),
+            }
+        else:
+            views = self._rng.randint(0, ds.num_views, size=v)
+            batch = {
+                "rgb": jnp.asarray(ds.images[views]),
+                "mask": jnp.asarray(ds.masks[views], jnp.float32),
+                "cameras": index_camera(ds.cameras, views),
+                "bg": jnp.asarray(self.bg),
+            }
+        return batch
+
+    def _bone_tf(self, frame: int):
+        from manus_tpu.ops.skinning import bone_deformation_transforms
+
+        ds = self.dataset
+        return bone_deformation_transforms(
+            ds.bones_posed[frame].transforms,
+            ds.bones_rest.transforms,
+            append_identity=self.voxel_grid is not None,
+        )
+
+    # ---- training -------------------------------------------------------
+    def fit(self, max_steps: Optional[int] = None, log=print):
+        cfg = self.cfg
+        opts = cfg.model
+        max_steps = max_steps or cfg.trainer.max_steps
+        t_last = time.time()
+        step_last = 0
+        last_loss = float("inf")
+
+        for step in range(max_steps):
+            batch = self.sample_batch()
+            self.state, metrics = self.train_step(self.state, batch)
+
+            densify_due = (
+                opts.densify
+                and opts.densify_from_step < step < opts.densify_until_step
+                and step % opts.densification_interval == 0
+            )
+            reset_due = (
+                step % opts.opacity_reset_interval == 0 and step != 0
+            ) or (
+                cfg.dataset.bg_color == "white"
+                and step == opts.densify_from_step
+            )
+            if densify_due:
+                # reference skips densify on mask-prune steps
+                if not bool(self.state.mask_pruned_flag):
+                    self.state, info = self.densify_step(self.state)
+                    log(
+                        f"[densify] step {step}: active="
+                        f"{int(info['num_active'])} clones={int(info['clones'])}"
+                        f" splits={int(info['splits'])} pruned={int(info['pruned'])}"
+                        f" dropped={int(info['alloc_dropped'])}"
+                    )
+            if reset_due and step != 0:
+                self.state = self.opacity_reset(self.state)
+
+            if step % cfg.trainer.log_every == 0 or step == max_steps - 1:
+                now = time.time()
+                ips = (step - step_last) / max(now - t_last, 1e-9)
+                t_last, step_last = now, step
+                last_loss = float(metrics["loss"])
+                self.train_csv.write(
+                    [step, last_loss, float(metrics["psnr"]),
+                     int(metrics["num_active"]), round(ips, 2)]
+                )
+                log(
+                    f"step {step}: loss={last_loss:.5f} "
+                    f"psnr={float(metrics['psnr']):.2f} "
+                    f"active={int(metrics['num_active'])} it/s={ips:.1f}"
+                )
+            if (
+                cfg.trainer.val_every
+                and step > 0
+                and step % cfg.trainer.val_every == 0
+            ):
+                self.validate(step, log=log)
+            if (
+                cfg.trainer.checkpoint_every
+                and step > 0
+                and step % cfg.trainer.checkpoint_every == 0
+            ):
+                self.save(step, last_loss)
+        self.save(max_steps, last_loss)
+        return self.state
+
+    # ---- validation -----------------------------------------------------
+    def validate(self, step: int, num_views: int = 2, log=print):
+        ds = self.dataset
+        psnrs, ssims, times = [], [], []
+        for vi in range(min(num_views, ds.num_views)):
+            if self.articulated:
+                f = 0
+                rgb = jnp.asarray(ds.images[f, vi])
+                mask = jnp.asarray(ds.masks[f, vi], jnp.float32)
+                extra = dict(bone_tf=self._bone_tf(f))
+            else:
+                rgb = jnp.asarray(ds.images[vi])
+                mask = jnp.asarray(ds.masks[vi], jnp.float32)
+                extra = {}
+            cam = index_camera(ds.cameras, vi)
+            t0 = time.time()
+            out = self.eval_step(
+                self.state.model, cam, rgb, mask, jnp.asarray(self.bg), **extra
+            )
+            jax.block_until_ready(out["render"])
+            times.append(time.time() - t0)
+            psnrs.append(float(out["psnr"]))
+            ssims.append(float(out["ssim"]))
+        self.val_csv.write(
+            [self.cfg.trainer.exp_name, step, np.mean(psnrs), np.mean(ssims),
+             0.0, np.mean(times)]
+        )
+        log(
+            f"[val] step {step}: psnr={np.mean(psnrs):.2f} "
+            f"ssim={np.mean(ssims):.4f} t={np.mean(times)*1e3:.1f}ms"
+        )
+        return np.mean(psnrs)
+
+    # ---- checkpointing --------------------------------------------------
+    def save(self, step: int, loss: float):
+        return ckpt_mod.save_checkpoint(
+            self.ckpt_dir, self.state, step, loss,
+            extra=dict(num_active=np.asarray(self.state.model.num_active())),
+        )
+
+    def load(self, path: Optional[str] = None):
+        if path in (None, "best"):
+            path = ckpt_mod.find_best_checkpoint(self.ckpt_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint in {self.ckpt_dir}")
+        self.state, extra = ckpt_mod.load_checkpoint(path, self.state)
+        model, n_bad = ckpt_mod.scrub_nan_slots(self.state.model)
+        self.state = self.state._replace(model=model)
+        return path, int(n_bad)

@@ -1,0 +1,304 @@
+"""Training workloads: object (static 3DGS) and hand (articulated LBS).
+
+Functional re-design of the reference Lightning modules
+(/root/reference/src/modules/object.py, hand_dynamic.py, base.py): one
+jitted `train_step` fuses render -> loss -> grad -> masked-Adam update ->
+densification-stat accumulation -> mask pruning; topology events
+(densify/prune/opacity reset) are separate jitted calls triggered on the
+host at the reference cadences. Batches carry a leading view axis V — the
+analogue of the reference's accum_iter gradient accumulation, and the
+data-parallel shard axis on a device mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from manus_tpu.config import ExperimentConfig
+from manus_tpu.models import densify as densify_mod
+from manus_tpu.models.gaussians import (
+    GaussianModel,
+    GaussianOpts,
+    get_covariance,
+    get_features,
+    get_opacity,
+    get_scaling,
+)
+from manus_tpu.ops.grid_sample import skinning_weights_from_voxel_grid
+from manus_tpu.ops.mask_prune import points_outside_mask
+from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
+from manus_tpu.ops.skinning import skin_gaussians
+from manus_tpu.train import optim as optim_mod
+from manus_tpu.utils import losses as loss_mod
+from manus_tpu.utils.camera import Camera, index_camera
+
+
+class VoxelGrid(NamedTuple):
+    """Skinning weight grid (reference brics_dynamic.build_voxel_grid)."""
+
+    center: jax.Array  # [3]
+    scale: jax.Array  # [3]
+    weights: jax.Array  # [D, H, W, B+1] (incl. background channel)
+
+
+class TrainState(NamedTuple):
+    model: GaussianModel
+    opt: optim_mod.AdamState
+    stats: densify_mod.DensifyStats
+    step: jax.Array  # [] int32
+    rng: jax.Array
+    mask_pruned_flag: jax.Array  # [] bool: did mask-prune fire this step
+
+
+def init_train_state(model: GaussianModel, seed: int = 0) -> TrainState:
+    return TrainState(
+        model=model,
+        opt=optim_mod.init_adam(model.params),
+        stats=densify_mod.init_stats(model.capacity),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+        mask_pruned_flag=jnp.zeros((), bool),
+    )
+
+
+def resolve_skin_weights(
+    model: GaussianModel, voxel_grid: Optional[VoxelGrid]
+) -> Optional[jax.Array]:
+    """Voxel mode resamples weights from the grid at current positions every
+    step (reference hand_gaussian.py:65-76); points mode uses stored ones."""
+    if voxel_grid is not None:
+        return skinning_weights_from_voxel_grid(
+            model.params.xyz, voxel_grid.center, voxel_grid.scale,
+            voxel_grid.weights,
+        )
+    return model.skin_weights
+
+
+def forward_gaussians(
+    params,
+    active,
+    skin_weights: Optional[jax.Array],
+    bone_tf: Optional[jax.Array],
+    opts: GaussianOpts,
+):
+    """Shared forward: object (identity pose) or hand (LBS).
+
+    bone_tf: [B(+1), 4, 4] rest->posed deformation transforms.
+    Returns (posed_xyz, posed_cov, tf or None).
+    """
+    cov_cano = get_covariance(params, isotropic=opts.isotropic_scaling)
+    if bone_tf is None:
+        return params.xyz, cov_cano, None
+    sk = skin_gaussians(params.xyz, cov_cano, skin_weights, bone_tf)
+    return sk.posed_xyz, sk.posed_cov, sk.tf
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    extent: float,
+    articulated: bool,
+    voxel_grid: Optional[VoxelGrid] = None,
+):
+    """Build the jitted train step for one workload configuration.
+
+    Batch layout (leading V = views per step):
+      rgb [V,H,W,3], mask [V,H,W,1], cameras: stacked Camera [V],
+      bg [3], and for the hand: bone_tf [B(+1),4,4], keypoints [K,3].
+    """
+    opts = cfg.model
+    raster_cfg = RasterConfig(
+        tg_max=cfg.raster.tg_max,
+        chunk=cfg.raster.chunk,
+        pallas_chunk=cfg.raster.pallas_chunk,
+        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
+        backend=cfg.raster.backend,
+    )
+    loss_names = tuple(cfg.loss.losses)
+    loss_weights = tuple(cfg.loss.loss_weight)
+
+    def loss_fn(params, m2d_off, active, skin_w, batch):
+        posed_xyz, posed_cov, tf = forward_gaussians(
+            params, active, skin_w, batch.get("bone_tf"), opts
+        )
+        feats = get_features(params)
+        opac = get_opacity(params)
+        scaling = get_scaling(params, opts.isotropic_scaling)
+
+        def render_view(cam, rgb, m2d_v):
+            out = render_gaussians(
+                posed_xyz, posed_cov, params.xyz, feats, opac, cam,
+                batch["bg"], sh_degree=opts.sh_degree, tf=tf, active=active,
+                means2d_offset=m2d_v, config=raster_cfg,
+            )
+            total, parts = loss_mod.compute_losses(
+                out.render, rgb, scaling, active, loss_names, loss_weights,
+                opts.condition_number,
+            )
+            return total, (out.radii, out.render, parts)
+
+        cams = batch["cameras"]
+        totals, (radii, renders, parts) = jax.vmap(
+            render_view, in_axes=(0, 0, 0)
+        )(cams, batch["rgb"], m2d_off)
+        loss = jnp.mean(totals)
+        return loss, dict(radii=radii, renders=renders, parts=parts,
+                          posed_xyz=posed_xyz)
+
+    width, height = cfg.dataset.width, cfg.dataset.height
+
+    # NOTE: no buffer donation — freshly-initialised m/v/stats zeros can
+    # alias the same constant buffer and XLA rejects double donation. Worth
+    # revisiting with explicit copies if HBM pressure shows up at scale.
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        v = batch["rgb"].shape[0]
+        n = state.model.capacity
+        skin_w = resolve_skin_weights(state.model, voxel_grid)
+        m2d_zero = jnp.zeros((v, n, 2), jnp.float32)
+
+        (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+
+        lrs = optim_mod.group_learning_rates(opts, state.step)
+        new_params, new_opt = optim_mod.adam_update(
+            state.model.params, g_params, state.opt, lrs, state.model.active
+        )
+        model = state.model._replace(params=new_params)
+
+        # ---- mask pruning phase (reference on_after_backward):
+        step = state.step
+        in_seg_phase = (step >= opts.remove_seg_start) & (
+            step < opts.remove_seg_end
+        )
+        cam0 = index_camera(batch["cameras"], 0)
+        posed = jax.lax.stop_gradient(aux["posed_xyz"])
+        keypoints = batch.get("keypoints") if articulated else None
+        outside = points_outside_mask(
+            cam0, posed, batch["mask"][0], keypoints=keypoints,
+            dilate=articulated, active=model.active,
+        )
+        if articulated:
+            # distance-to-skeleton prune every 100 steps after the seg phase
+            # (reference hand_dynamic.py:209-217)
+            kp = batch["keypoints"]
+            dist = jnp.mean(
+                jnp.linalg.norm(posed[:, None, :] - kp[None, :, :], axis=-1),
+                axis=1,
+            )
+            far = (dist > opts.skeleton_dist_threshold) & model.active
+            do_far = (step % 100 == 0) & (step >= opts.remove_seg_end)
+            outside = jnp.where(in_seg_phase, outside,
+                                jnp.where(do_far, far, jnp.zeros_like(far)))
+        else:
+            outside = jnp.where(in_seg_phase, outside, jnp.zeros_like(outside))
+
+        do_prune = jnp.any(outside)
+        new_active = jnp.where(do_prune, model.active & ~outside, model.active)
+        new_opt = jax.lax.cond(
+            do_prune,
+            lambda o: optim_mod.reset_moments_rows(o, outside),
+            lambda o: o,
+            new_opt,
+        )
+        model = model._replace(active=new_active)
+
+        # ---- densification stats (skipped on mask-prune steps, matching
+        # the reference density_update if/else, gaussian_utils.py:451-502)
+        in_densify = step < opts.densify_until_step
+        acc = jnp.logical_and(~do_prune, in_densify)
+
+        def add_stats(stats):
+            def one(s, i):
+                return densify_mod.accumulate_stats(
+                    s, g_m2d[i], aux["radii"][i], width, height
+                )
+            return jax.lax.fori_loop(
+                0, v, lambda i, s: one(s, i), stats
+            )
+
+        new_stats = jax.lax.cond(acc, add_stats, lambda s: s, state.stats)
+
+        psnr_val = loss_mod.psnr(aux["renders"][0], batch["rgb"][0])
+        metrics = dict(
+            loss=loss,
+            psnr=psnr_val,
+            num_active=jnp.sum(new_active),
+            mask_pruned=jnp.sum(outside),
+        )
+        for k, val in aux["parts"].items():
+            metrics[f"loss/{k}"] = jnp.mean(val)
+
+        new_state = TrainState(
+            model=model,
+            opt=new_opt,
+            stats=new_stats,
+            step=step + 1,
+            rng=state.rng,
+            mask_pruned_flag=do_prune,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_densify_step(cfg: ExperimentConfig, extent: float):
+    opts = cfg.model
+
+    @jax.jit
+    def densify_step(state: TrainState):
+        rng, sub = jax.random.split(state.rng)
+        use_size = state.step > opts.opacity_reset_interval
+        model, opt, stats, info = densify_mod.densify_and_prune(
+            state.model, state.opt, state.stats, opts, extent, sub,
+            use_size_threshold=use_size,
+        )
+        return state._replace(
+            model=model, opt=opt, stats=stats, rng=rng
+        ), info
+
+    @jax.jit
+    def opacity_reset_step(state: TrainState):
+        model, opt = densify_mod.reset_opacity(state.model, state.opt)
+        return state._replace(model=model, opt=opt)
+
+    return densify_step, opacity_reset_step
+
+
+def make_eval_step(cfg: ExperimentConfig, articulated: bool,
+                   voxel_grid: Optional[VoxelGrid] = None):
+    """Jitted single-view render + metrics for validation loops."""
+    opts = cfg.model
+    raster_cfg = RasterConfig(
+        tg_max=cfg.raster.tg_max,
+        chunk=cfg.raster.chunk,
+        pallas_chunk=cfg.raster.pallas_chunk,
+        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
+        backend=cfg.raster.backend,
+    )
+
+    @jax.jit
+    def eval_step(model: GaussianModel, cam: Camera, rgb, mask, bg, bone_tf):
+        skin_w = resolve_skin_weights(model, voxel_grid)
+        posed_xyz, posed_cov, tf = forward_gaussians(
+            model.params, model.active, skin_w, bone_tf, opts
+        )
+        out = render_gaussians(
+            posed_xyz, posed_cov, model.params.xyz, get_features(model.params),
+            get_opacity(model.params), cam, bg, sh_degree=opts.sh_degree,
+            tf=tf, active=model.active, config=raster_cfg,
+        )
+        render = out.render * mask
+        gt = rgb * mask
+        return dict(
+            render=out.render,
+            psnr=loss_mod.psnr(render, gt),
+            ssim=loss_mod.ssim(render, gt),
+        )
+
+    if articulated:
+        return eval_step
+    return functools.partial(eval_step, bone_tf=None)
