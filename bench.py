@@ -1,0 +1,156 @@
+"""Benchmark: hand-module training-step throughput on real TPU hardware.
+
+Fixed workload across rounds so the driver's BENCH_r{N}.json history is
+comparable: articulated hand model (LBS + SH + differentiable tiled
+raster + masked Adam), 65,536 active gaussians, 512x512 render, one view
+per step, fp32 — the flagship configuration of this framework
+(BASELINE.md: rays/s/chip + train iters/s on the MANUS hand module).
+
+Prints ONE JSON line:
+  {"metric": "hand_train_iters_per_s", "value": ..., "unit": "iters/s",
+   "vs_baseline": ...}
+
+vs_baseline = measured speedup of the Pallas raster path over the pure-XLA
+fallback path on the same workload (the reference's CUDA numbers are not
+published — BASELINE.md — so the in-repo XLA implementation is the
+baseline the kernel work is judged against).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(backend: str, capacity: int, width: int, height: int,
+                   views: int):
+    import jax
+    import jax.numpy as jnp
+
+    from manus_tpu.config import hand_config
+    from manus_tpu.data.synthetic import procedural_skeleton, sample_gaussians_on_bones
+    from manus_tpu.models.gaussians import init_gaussian_model
+    from manus_tpu.train.workloads import init_train_state, make_train_step
+    from manus_tpu.utils.camera import index_camera, stack_cameras
+    from manus_tpu.data.synthetic import hemisphere_cameras
+    from manus_tpu.ops.skinning import bone_deformation_transforms
+    from manus_tpu.utils.structures import Bones
+
+    skel = procedural_skeleton(8)
+    j = len(skel["bnames"])
+    per_bone = capacity // (j + j // 2)  # bones + joints sampling ratio
+    pts, cols = sample_gaussians_on_bones(
+        skel["rest_heads"], skel["rest_tails"], skel["rest_transforms"],
+        per_bone, seed=0,
+    )
+    pts, cols = pts[:capacity], cols[:capacity]
+    rng = np.random.RandomState(0)
+    skin = rng.dirichlet(np.ones(j) * 0.1, size=pts.shape[0]).astype(np.float32)
+
+    cfg = hand_config()
+    cfg.capacity = capacity
+    cfg.dataset.width, cfg.dataset.height = width, height
+    cfg.loss = dataclasses.replace(
+        cfg.loss,
+        losses=("rgb_loss", "ssim_loss", "isotropic_reg"),
+        loss_weight=(0.8, 0.2, 0.1),
+    )
+    cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
+    cfg.raster = dataclasses.replace(
+        cfg.raster, backend=backend, tg_max=32, max_pairs_per_tile=4096,
+        chunk=64, pallas_chunk=128,
+    )
+
+    model = init_gaussian_model(pts, cols, capacity, skin_weights=skin)
+    state = init_train_state(model)
+    train_step = make_train_step(cfg, extent=1.0, articulated=True)
+
+    center = skel["rest_heads"].mean(axis=0)
+    span = np.linalg.norm(skel["rest_tails"] - skel["rest_heads"], axis=1).sum()
+    cams = hemisphere_cameras(
+        max(views, 4), width, height, dist=max(1.0, 2.0 * span / 4),
+        center=center,
+    )
+    cameras = stack_cameras(cams)
+    bone_tf = bone_deformation_transforms(
+        jnp.asarray(skel["pose_transforms"][3]),
+        jnp.asarray(skel["rest_transforms"]),
+    )
+    kp = np.concatenate([skel["pose_heads"][3][:1], skel["pose_tails"][3]])
+    batch = {
+        "rgb": jnp.zeros((views, height, width, 3), jnp.float32) + 0.25,
+        "mask": jnp.ones((views, height, width, 1), jnp.float32),
+        "cameras": index_camera(cameras, np.arange(views)),
+        "bg": jnp.zeros(3, jnp.float32),
+        "bone_tf": bone_tf,
+        "keypoints": jnp.asarray(kp, jnp.float32),
+    }
+    return train_step, state, batch
+
+
+def time_iters(train_step, state, batch, warmup: int, iters: int):
+    import jax
+
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"])), "non-finite loss in bench"
+    return iters / dt
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        capacity, width, height, views = 1 << 16, 512, 512, 1
+        warmup, iters = 3, 20
+    else:  # tiny CPU fallback so the bench line always prints
+        capacity, width, height, views = 2048, 128, 128, 1
+        warmup, iters = 1, 3
+
+    step_p, state_p, batch_p = build_workload(
+        "pallas" if on_tpu else "xla", capacity, width, height, views
+    )
+    pallas_ips = time_iters(step_p, state_p, batch_p, warmup, iters)
+
+    try:
+        step_x, state_x, batch_x = build_workload(
+            "xla", capacity, width, height, views
+        )
+        xla_ips = time_iters(step_x, state_x, batch_x, warmup, max(iters // 4, 2))
+    except Exception:
+        xla_ips = float("nan")
+
+    vs_baseline = pallas_ips / xla_ips if np.isfinite(xla_ips) else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "hand_train_iters_per_s",
+                "value": round(pallas_ips, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "extra": {
+                    "rays_per_s": round(pallas_ips * width * height * views),
+                    "xla_fallback_iters_per_s": round(xla_ips, 3)
+                    if np.isfinite(xla_ips)
+                    else None,
+                    "gaussians": capacity,
+                    "resolution": [height, width],
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

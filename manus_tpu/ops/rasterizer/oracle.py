@@ -76,7 +76,7 @@ def composite_pixels(
     t_before = jnp.exp(log_cp - log_one_minus)  # transmittance at k
     incl = jax.lax.stop_gradient(cp >= T_EPS)
     w = jnp.where(incl, alpha * t_before, 0.0)  # [P, K]
-    rgb = w @ colors  # [P, 3]
+    rgb = jnp.matmul(w, colors, precision=jax.lax.Precision.HIGHEST)  # [P, 3]
     t_final = jnp.min(jnp.where(incl & (alpha > 0), cp, 1.0), axis=1)  # [P]
     out = rgb + t_final[:, None] * bg[None, :]
     return out, t_final

@@ -3,14 +3,15 @@
 This is the hot path of the framework: per-tile front-to-back alpha
 compositing of binned, depth-ordered gaussian pairs, with
 
-  * contiguous 8KB chunk DMAs from the aligned [P_pad, 16] payload,
-  * all-VPU/MXU math in a [G, Px] = [chunk, 256] layout with zero
-    transposes (fields broadcast as [G, 1] columns, pixels as [1, Px] rows),
+  * lane-aligned chunk DMAs from the field-major [16, P_pad] payload
+    (each field row is a contiguous 512B burst per 128-pair chunk),
+  * all-VPU/MXU math in a [Px, G] = [256, chunk] layout with zero
+    transposes (fields broadcast as [1, G] rows, pixels as [Px, 1] iotas),
   * cumulative transmittance via an MXU triangular-matmul prefix sum,
   * per-tile early exit once every pixel saturates (the reference CUDA
     kernel's per-pixel `done` flag, lifted to tile granularity),
   * a custom VJP whose backward kernel re-walks the chunks in reverse,
-    reconstructing transmittance analytically — no per-pixel contributor
+    reconstructing transmittance analytically -- no per-pixel contributor
     stacks, no atomics (each pair slot belongs to exactly one tile, so
     gradient writes are race-free by construction).
 
@@ -43,37 +44,38 @@ from manus_tpu.ops.rasterizer.payload import (
 LOG_T_EPS = float(np.log(T_EPS))
 
 
-def _lower_tri(chunk: int):
-    """Lower-triangular ones [chunk, chunk], built in-kernel (MXU prefix-sum
-    operator — constants cannot be captured by pallas kernels)."""
+def _upper_tri_incl(chunk: int):
+    """U[j, g] = 1 where j <= g: inclusive prefix-sum operator for the
+    [Px, G] layout (x @ U), built in-kernel (pallas kernels cannot capture
+    array constants)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return (rows >= cols).astype(jnp.float32)
+    return (rows <= cols).astype(jnp.float32)
 
 
 def _pixel_coords(t, ntx: int, tile: int):
-    """Pixel-center coordinates of tile t as two [1, Px] f32 rows."""
+    """Pixel-center coordinates of tile t as two [Px, 1] f32 columns."""
     tx = t % ntx
     ty = t // ntx
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
     px = (tx * tile + i % tile).astype(jnp.float32)
     py = (ty * tile + i // tile).astype(jnp.float32)
     return px, py
 
 
 def _chunk_alpha(buf, px, py):
-    """Shared fwd/bwd per-chunk alpha math. buf: [G, 16] payload chunk.
+    """Shared fwd/bwd per-chunk alpha math. buf: [16, G] payload chunk.
 
-    Returns (alpha [G, Px] gated+clamped, g_val [G, Px] = exp(power),
-    dx, dy, ca, cb, cc, op).
+    Returns (alpha [Px, G] gated+clamped, g_val = exp(power), dx, dy,
+    ca, cb, cc, op) -- field rows broadcast [1, G] against pixels [Px, 1].
     """
-    mx = buf[:, F_MEAN_X : F_MEAN_X + 1]
-    my = buf[:, F_MEAN_Y : F_MEAN_Y + 1]
-    ca = buf[:, F_CONIC_A : F_CONIC_A + 1]
-    cb = buf[:, F_CONIC_B : F_CONIC_B + 1]
-    cc = buf[:, F_CONIC_C : F_CONIC_C + 1]
-    op = buf[:, F_OPACITY : F_OPACITY + 1]
-    dx = px - mx  # [G, Px]
+    mx = buf[F_MEAN_X : F_MEAN_X + 1, :]
+    my = buf[F_MEAN_Y : F_MEAN_Y + 1, :]
+    ca = buf[F_CONIC_A : F_CONIC_A + 1, :]
+    cb = buf[F_CONIC_B : F_CONIC_B + 1, :]
+    cc = buf[F_CONIC_C : F_CONIC_C + 1, :]
+    op = buf[F_OPACITY : F_OPACITY + 1, :]
+    dx = px - mx  # [Px, G]
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g_val = jnp.exp(power)
@@ -88,12 +90,11 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
     def kernel(
         offs_ref,  # scalar prefetch [T]
         cnts_ref,  # scalar prefetch [T]
-        payload_ref,  # ANY [P_pad, 16]
-        rgb_ref,  # out [1, 3, Px]
-        tfin_ref,  # out [1, Px]
-        logt_ref,  # out [1, Px] (residual: log T at stop)
-        kstop_ref,  # out [1, 1] int32 in SMEM (residual)
-        buf,  # VMEM scratch [chunk, 16]
+        payload_ref,  # ANY [16, P_pad]
+        rgb_ref,  # out [1, Px, 3]
+        tfin_ref,  # out [1, Px, 1]
+        aux_ref,  # out [1, Px, 2]: col 0 = log T at stop, col 1 = k_stop
+        buf,  # VMEM scratch [16, chunk]
         sem,  # DMA sem
     ):
         t = pl.program_id(0)
@@ -101,7 +102,7 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
         offset = offs_ref[t]
         n_chunks = (count + chunk - 1) // chunk
         px, py = _pixel_coords(t, ntx, tile)
-        lower_incl = _lower_tri(chunk)
+        u_incl = _upper_tri_incl(chunk)
 
         def cond(state):
             k, log_t, _, _ = state
@@ -109,46 +110,50 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
 
         def body(state):
             k, log_t, accum, t_min = state
-            cp_dma = pltpu.make_async_copy(
-                payload_ref.at[pl.ds(offset + k * chunk, chunk), :], buf, sem
+            start = pl.multiple_of(offset + k * chunk, 128)
+            dma = pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(start, chunk)], buf, sem
             )
-            cp_dma.start()
-            cp_dma.wait()
-            alpha, _, _, _, _, _, _, _ = _chunk_alpha(buf[:, :], px, py)
+            dma.start()
+            dma.wait()
+            chunk_vals = buf[:, :]
+            alpha, _, _, _, _, _, _, _ = _chunk_alpha(chunk_vals, px, py)
             log1m = jnp.log1p(-alpha)
             # inclusive prefix sum along the chunk axis on the MXU
             csum = jax.lax.dot_general(
-                lower_incl, log1m, (((1,), (0,)), ((), ())),
+                log1m, u_incl, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            logcp = log_t + csum  # [G, Px]
+            logcp = log_t + csum  # [Px, G]
             t_bef = jnp.exp(logcp - log1m)
             incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
             w = jnp.where(incl, alpha * t_bef, 0.0)
-            colors = buf[:, F_R : F_R + 3]  # [G, 3]
+            colors = chunk_vals[F_R : F_R + 3, :]  # [3, G]
             accum = accum + jax.lax.dot_general(
-                colors, w, (((0,), (0,)), ((), ())),
+                w, colors, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [3, Px]
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Px, 3]
             t_min = jnp.minimum(
                 t_min,
-                jnp.min(jnp.where(incl, jnp.exp(logcp), 1.0), axis=0,
+                jnp.min(jnp.where(incl, jnp.exp(logcp), 1.0), axis=1,
                         keepdims=True),
             )
-            log_t = logcp[chunk - 1 : chunk, :]
+            log_t = logcp[:, chunk - 1 : chunk]
             return k + 1, log_t, accum, t_min
 
         init = (
             jnp.asarray(0, jnp.int32),
-            jnp.zeros((1, n_px), jnp.float32),
-            jnp.zeros((3, n_px), jnp.float32),
-            jnp.ones((1, n_px), jnp.float32),
+            jnp.zeros((n_px, 1), jnp.float32),
+            jnp.zeros((n_px, 3), jnp.float32),
+            jnp.ones((n_px, 1), jnp.float32),
         )
         k, log_t, accum, t_min = jax.lax.while_loop(cond, body, init)
         rgb_ref[0] = accum
-        tfin_ref[0, :] = t_min[0, :]
-        logt_ref[0, :] = log_t[0, :]
-        kstop_ref[0, 0] = k
+        tfin_ref[0] = t_min
+        aux_ref[0, :, 0:1] = log_t
+        aux_ref[0, :, 1:2] = jnp.full((n_px, 1), 1.0) * k.astype(jnp.float32)
 
     return kernel
 
@@ -160,15 +165,15 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
         offs_ref,  # scalar prefetch [T]
         cnts_ref,  # scalar prefetch [T]
         kstop_all_ref,  # scalar prefetch [T] int32
-        payload_ref,  # ANY [P_pad, 16]
-        d_rgb_ref,  # in [1, 3, Px]
-        d_tfin_ref,  # in [1, Px]
-        tfin_ref,  # in [1, Px]
-        logt_ref,  # in [1, Px]
-        d_payload_ref,  # out ANY [P_pad, 16]
-        buf,  # VMEM scratch [chunk, 16] (payload in)
-        gbuf,  # VMEM scratch [chunk, 16] (grads out)
-        zbuf,  # VMEM scratch [chunk, 16] (zeros)
+        payload_ref,  # ANY [16, P_pad]
+        d_rgb_ref,  # in [1, Px, 3]
+        d_tfin_ref,  # in [1, Px, 1]
+        tfin_ref,  # in [1, Px, 1]
+        logt_ref,  # in [1, Px, 1]
+        d_payload_ref,  # out ANY [16, P_pad]
+        buf,  # VMEM scratch [16, chunk] (payload in)
+        gbuf,  # VMEM scratch [16, chunk] (grads out)
+        zbuf,  # VMEM scratch [16, chunk] (zeros)
         sem_in,
         sem_out,
     ):
@@ -178,21 +183,21 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
         k_stop = kstop_all_ref[t]
         n_chunks = (count + chunk - 1) // chunk
         px, py = _pixel_coords(t, ntx, tile)
-        lower_incl = _lower_tri(chunk)
+        u_incl = _upper_tri_incl(chunk)
 
-        d_rgb = d_rgb_ref[0]  # [3, Px]
-        d_tfin = d_tfin_ref[:, :]  # [1, Px]
-        t_final = tfin_ref[:, :]  # [1, Px]
+        d_rgb = d_rgb_ref[0]  # [Px, 3]
+        d_tfin = d_tfin_ref[0]  # [Px, 1]
+        t_final = tfin_ref[0]  # [Px, 1]
         # gradient routed through T_final's product (bg + direct uses)
-        tfin_term = t_final * d_tfin  # [1, Px]
+        tfin_term = t_final * d_tfin  # [Px, 1]
 
         # --- pass 1: zero-fill chunks the forward never reached.
-        zbuf[:, :] = jnp.zeros((chunk, NUM_FIELDS), jnp.float32)
+        zbuf[:, :] = jnp.zeros((NUM_FIELDS, chunk), jnp.float32)
 
         def zero_body(k, _):
+            start = pl.multiple_of(offset + k * chunk, 128)
             zdma = pltpu.make_async_copy(
-                zbuf, d_payload_ref.at[pl.ds(offset + k * chunk, chunk), :],
-                sem_out,
+                zbuf, d_payload_ref.at[:, pl.ds(start, chunk)], sem_out,
             )
             zdma.start()
             zdma.wait()
@@ -202,79 +207,83 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
 
         # --- pass 2: reverse walk over contributing chunks.
         def cond(state):
-            k = state[0]
-            return k >= 0
+            return state[0] >= 0
 
         def body(state):
             k, log_t_end, r_carry = state
-            cp_in = pltpu.make_async_copy(
-                payload_ref.at[pl.ds(offset + k * chunk, chunk), :], buf, sem_in
+            start = pl.multiple_of(offset + k * chunk, 128)
+            dma_in = pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(start, chunk)], buf, sem_in,
             )
-            cp_in.start()
-            cp_in.wait()
+            dma_in.start()
+            dma_in.wait()
+            chunk_vals = buf[:, :]
             alpha, g_val, dx, dy, ca, cb, cc, op = _chunk_alpha(
-                buf[:, :], px, py
+                chunk_vals, px, py
             )
             log1m = jnp.log1p(-alpha)
             csum = jax.lax.dot_general(
-                lower_incl, log1m, (((1,), (0,)), ((), ())),
+                log1m, u_incl, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            chunk_sum = csum[chunk - 1 : chunk, :]
+            chunk_sum = csum[:, chunk - 1 : chunk]
             log_t_start = log_t_end - chunk_sum
             logcp = log_t_start + csum
             t_bef = jnp.exp(logcp - log1m)
             incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
             w = jnp.where(incl, alpha * t_bef, 0.0)
 
-            colors = buf[:, F_R : F_R + 3]  # [G, 3]
-            # cd[g, px] = sum_c color[g, c] * dL/dC[c, px]
+            colors = chunk_vals[F_R : F_R + 3, :]  # [3, G]
+            # cd[px, g] = sum_c dL/dC[px, c] * color[c, g]
             cd = jax.lax.dot_general(
-                colors, d_rgb, (((1,), (0,)), ((), ())),
+                d_rgb, colors, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G, Px]
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Px, G]
             wcd = w * cd
-            total = jnp.sum(wcd, axis=0, keepdims=True)
+            total = jnp.sum(wcd, axis=1, keepdims=True)  # [Px, 1]
             suffix = total - jax.lax.dot_general(
-                lower_incl, wcd, (((1,), (0,)), ((), ())),
+                wcd, u_incl, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # sum_{j>g} w_j cd_j within chunk
-            r_g = suffix + r_carry  # [G, Px]
+            r_g = suffix + r_carry
             d_alpha = jnp.where(
                 incl,
                 t_bef * cd - (r_g + tfin_term) / (1.0 - alpha),
                 0.0,
             )
-            # d colors [G, 3] = sum_px w * dL/dC
+            # d colors [3, G] = dL/dC^T w
             d_colors = jax.lax.dot_general(
-                w, d_rgb, (((1,), (1,)), ((), ())),
+                d_rgb, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            d_op = jnp.sum(d_alpha * g_val, axis=1, keepdims=True)  # [G, 1]
+            d_op = jnp.sum(d_alpha * g_val, axis=0, keepdims=True)  # [1, G]
             d_power = d_alpha * op * g_val
-            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=1, keepdims=True)
-            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=1, keepdims=True)
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-            pad = jnp.zeros((chunk, NUM_FIELDS - 9), jnp.float32)
+            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            pad = jnp.zeros((NUM_FIELDS - 9, chunk), jnp.float32)
             gbuf[:, :] = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad], axis=1
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad], axis=0
             )
-            cp_out = pltpu.make_async_copy(
-                gbuf, d_payload_ref.at[pl.ds(offset + k * chunk, chunk), :],
-                sem_out,
+            dma_out = pltpu.make_async_copy(
+                gbuf, d_payload_ref.at[:, pl.ds(start, chunk)], sem_out,
             )
-            cp_out.start()
-            cp_out.wait()
+            dma_out.start()
+            dma_out.wait()
 
-            r_carry = r_carry + jnp.sum(wcd, axis=0, keepdims=True)
+            r_carry = r_carry + total
             return k - 1, log_t_start, r_carry
 
         init = (
             k_stop - 1,
-            logt_ref[:, :],
-            jnp.zeros((1, n_px), jnp.float32),
+            logt_ref[0],
+            jnp.zeros((n_px, 1), jnp.float32),
         )
         jax.lax.while_loop(cond, body, init)
 
@@ -284,7 +293,11 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
 @functools.lru_cache(maxsize=32)
 def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
                     interpret: bool):
-    """Build the custom-vjp composite fn for one static configuration."""
+    """Build the custom-vjp composite fn for one static configuration.
+
+    Returns rgb tiles as [T, 3, Px] (transposed from the kernel's [T, Px, 3]
+    in XLA) and t_final as [T, Px].
+    """
     num_tiles = ntx * nty
     n_px = tile * tile
 
@@ -298,23 +311,19 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
-                pl.BlockSpec((1, 3, n_px), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px), lambda t, *_: (t, 0)),
-                pl.BlockSpec((1, n_px), lambda t, *_: (t, 0)),
-                pl.BlockSpec(
-                    (1, 1), lambda t, *_: (t, 0), memory_space=pltpu.SMEM
-                ),
+                pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, n_px, 2), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((chunk, NUM_FIELDS), jnp.float32),
+                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, n_px), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, n_px), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, n_px), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, n_px, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, n_px, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, n_px, 2), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -326,39 +335,44 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 3, n_px), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px), lambda t, *_: (t, 0)),
-                pl.BlockSpec((1, n_px), lambda t, *_: (t, 0)),
-                pl.BlockSpec((1, n_px), lambda t, *_: (t, 0)),
+                pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
-                pltpu.VMEM((chunk, NUM_FIELDS), jnp.float32),
-                pltpu.VMEM((chunk, NUM_FIELDS), jnp.float32),
-                pltpu.VMEM((chunk, NUM_FIELDS), jnp.float32),
+                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
+                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
+                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((p_pad, NUM_FIELDS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((NUM_FIELDS, p_pad), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
     @jax.custom_vjp
     def composite(payload, offsets, counts):
-        rgb, tfin, _, _ = fwd_call(offsets, counts, payload)
-        return rgb, tfin
+        rgb, tfin, _ = fwd_call(offsets, counts, payload)
+        return rgb.transpose(0, 2, 1), tfin[:, :, 0]
 
     def composite_fwd(payload, offsets, counts):
-        rgb, tfin, logt, kstop = fwd_call(offsets, counts, payload)
-        return (rgb, tfin), (payload, offsets, counts, tfin, logt, kstop)
+        rgb, tfin, aux = fwd_call(offsets, counts, payload)
+        return (rgb.transpose(0, 2, 1), tfin[:, :, 0]), (
+            payload, offsets, counts, tfin, aux,
+        )
 
     def composite_bwd(res, cts):
-        payload, offsets, counts, tfin, logt, kstop = res
+        payload, offsets, counts, tfin, aux = res
         d_rgb, d_tfin = cts
+        kstop = aux[:, 0, 1].astype(jnp.int32)
+        logt = aux[:, :, 0:1]
         (d_payload,) = bwd_call(
-            offsets, counts, kstop[:, 0], payload, d_rgb, d_tfin, tfin, logt
+            offsets, counts, kstop, payload,
+            d_rgb.transpose(0, 2, 1), d_tfin[:, :, None], tfin, logt,
         )
         zero_i = np.zeros(offsets.shape, jax.dtypes.float0)
         return d_payload, zero_i, zero_i
@@ -368,7 +382,7 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
 
 
 def composite_tiles_pallas(
-    payload: jax.Array,  # [P_pad, 16]
+    payload: jax.Array,  # [16, P_pad]
     tile_offsets: jax.Array,  # [T] int32
     tile_counts: jax.Array,  # [T] int32
     ntx: int,
@@ -377,10 +391,14 @@ def composite_tiles_pallas(
     chunk: int = 128,
     interpret: bool | None = None,
 ):
-    """Composite all tiles on TPU. Returns (rgb [T,3,Px], t_final [T,Px])."""
+    """Composite all tiles on TPU. Returns (rgb [T,3,Px], t_final [T,Px]).
+
+    `chunk` must equal the binning lane alignment (128) on real hardware so
+    every DMA lands on a lane-aligned payload column offset.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _make_composite(
-        ntx, nty, tile, chunk, int(payload.shape[0]), bool(interpret)
+        ntx, nty, tile, chunk, int(payload.shape[1]), bool(interpret)
     )
     return fn(payload, tile_offsets, tile_counts)

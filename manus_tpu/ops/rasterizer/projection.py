@@ -57,9 +57,10 @@ def project_gaussians(
     focal_x = w / (2.0 * tanfovx)
     focal_y = h / (2.0 * tanfovy)
 
+    hi0 = jax.lax.Precision.HIGHEST
     p_h = homogenize_points(means3d)  # [N, 4]
-    p_view = p_h @ camera.world_view_transform  # row-vector convention
-    p_hom = p_h @ camera.full_proj_transform
+    p_view = jnp.matmul(p_h, camera.world_view_transform, precision=hi0)
+    p_hom = jnp.matmul(p_h, camera.full_proj_transform, precision=hi0)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
 
@@ -87,8 +88,12 @@ def project_gaussians(
     )  # [N, 2, 3]
     R = camera.extr[:3, :3]  # world -> camera rotation
     Sigma = build_symmetric(cov3d)  # [N, 3, 3]
-    JR = J @ R  # [N, 2, 3]
-    cov2d = JR @ Sigma @ jnp.swapaxes(JR, -1, -2)  # [N, 2, 2]
+    hi = jax.lax.Precision.HIGHEST
+    JR = jnp.matmul(J, R, precision=hi)  # [N, 2, 3]
+    cov2d = jnp.matmul(
+        jnp.matmul(JR, Sigma, precision=hi),
+        jnp.swapaxes(JR, -1, -2), precision=hi,
+    )  # [N, 2, 2]
     cxx = cov2d[:, 0, 0] + COV2D_DILATION
     cxy = cov2d[:, 0, 1]
     cyy = cov2d[:, 1, 1] + COV2D_DILATION

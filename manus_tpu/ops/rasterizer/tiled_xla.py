@@ -36,7 +36,7 @@ def tile_pixel_coords(num_tiles_x: int, num_tiles_y: int, tile: int):
 
 
 def composite_tiles_xla(
-    payload: jax.Array,  # [P_pad, 16]
+    payload: jax.Array,  # [16, P_pad]
     bins: TileBins,
     num_tiles_x: int,
     num_tiles_y: int,
@@ -54,17 +54,17 @@ def composite_tiles_xla(
     px_x, px_y = tile_pixel_coords(num_tiles_x, num_tiles_y, tile)  # [T, Px]
     n_px = tile * tile
     n_chunks = max(1, -(-max_pairs_per_tile // chunk))
-    p_pad = payload.shape[0]
+    p_pad = payload.shape[1]
 
     def body(carry, k):
         log_t, accum, t_min = carry
         base = bins.tile_offsets + k * chunk  # [T]
-        rows = base[:, None] + jnp.arange(chunk)[None, :]
-        rows = jnp.clip(rows, 0, p_pad - 1)
+        cols = base[:, None] + jnp.arange(chunk)[None, :]
+        cols = jnp.clip(cols, 0, p_pad - 1)
         # In-range mask: beyond-count slots already have opacity 0, but the
         # static cap can spill into the *next* tile's segment, so mask here.
         in_seg = (jnp.arange(chunk)[None, :] + k * chunk) < bins.tile_counts[:, None]
-        f = jnp.moveaxis(payload[rows], -1, 0)  # [16, T, chunk]
+        f = payload[:, cols]  # [16, T, chunk]
         dx = px_x[:, None, :] - f[payload_mod.F_MEAN_X][:, :, None]  # [T, G, Px]
         dy = px_y[:, None, :] - f[payload_mod.F_MEAN_Y][:, :, None]
         ca = f[payload_mod.F_CONIC_A][:, :, None]
@@ -85,7 +85,8 @@ def composite_tiles_xla(
         colors = jnp.stack(
             [f[payload_mod.F_R], f[payload_mod.F_G], f[payload_mod.F_B]], axis=1
         )  # [T, 3, G]
-        accum = accum + jnp.einsum("tcg,tgp->tcp", colors, w)
+        accum = accum + jnp.einsum("tcg,tgp->tcp", colors, w,
+                                   precision=jax.lax.Precision.HIGHEST)
         t_min = jnp.minimum(
             t_min,
             jnp.min(jnp.where(incl & (alpha > 0), jnp.exp(log_cp), 1.0), axis=1),

@@ -51,14 +51,16 @@ def skin_gaussians(
 
     Matches reference hand_dynamic.py:106-127.
     """
-    tf = jnp.einsum("nb,bij->nij", skin_weights, transforms)  # [N, 4, 4]
+    tf = jnp.einsum("nb,bij->nij", skin_weights, transforms,
+                    precision=jax.lax.Precision.HIGHEST)  # [N, 4, 4]
     ones = jnp.ones_like(cano_xyz[:, :1])
     xyz_h = jnp.concatenate([cano_xyz, ones], axis=-1)
     posed_xyz = jnp.einsum("nij,nj->ni", tf, xyz_h)[:, :3]
 
     rot = tf[:, :3, :3]
     cov_full = build_symmetric(cano_cov)
-    posed_cov = jnp.einsum("nij,njk,nlk->nil", rot, cov_full, rot)
+    posed_cov = jnp.einsum("nij,njk,nlk->nil", rot, cov_full, rot,
+                           precision=jax.lax.Precision.HIGHEST)
     return SkinnedGaussians(
         posed_xyz=posed_xyz,
         posed_cov=strip_symmetric(posed_cov),

@@ -105,7 +105,8 @@ def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
     k = (deg + 1) ** 2
     assert sh.shape[-1] >= k
     basis = sh_basis(deg, dirs)  # [..., k]
-    return jnp.einsum("...ck,...k->...c", sh[..., :k], basis)
+    return jnp.einsum("...ck,...k->...c", sh[..., :k], basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rgb_to_sh(rgb: jax.Array) -> jax.Array:
