@@ -41,6 +41,7 @@ class RasterConfig(NamedTuple):
     max_pairs_per_tile: int = 4096  # static cap (xla backend only)
     backend: str = "auto"
     lane_align: int = 128
+    pair_budget_factor: int = 8  # aligned pair buffer cap, x N (0 = off)
 
 
 class RenderOutput(NamedTuple):
@@ -129,7 +130,8 @@ def render_gaussians(
         ntx = (w + TILE - 1) // TILE
         nty = (h + TILE - 1) // TILE
         bins = bin_gaussians(
-            proj, ntx, nty, config.tg_max, lane_align=config.lane_align
+            proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
+            pair_budget_factor=config.pair_budget_factor,
         )
         pay = payload_mod.build_payload(proj, colors, opacity, bins)
         if backend == "pallas":

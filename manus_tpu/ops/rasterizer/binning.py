@@ -54,7 +54,12 @@ def bin_gaussians(
     num_tiles_y: int,
     tg_max: int,
     lane_align: int = 128,
+    pair_budget_factor: int = 0,
 ) -> TileBins:
+    """See module docstring. pair_budget_factor > 0 caps the aligned pair
+    buffer at N*factor + T*lane_align slots (instead of the N*tg_max worst
+    case), shrinking every downstream P_pad-sized op; overflowing pairs are
+    dropped farthest-first per tile and counted in overflow_count."""
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
 
@@ -82,39 +87,57 @@ def bin_gaussians(
         jnp.where(visible, jnp.maximum(n_slots - tg_max, 0), 0)
     ).astype(jnp.int32)
 
-    # -- 3. stable sort pairs by tile id; values carry the position in the
-    # depth-sorted array.
+    # -- 3. stable sort pairs by tile id; values carry the ORIGINAL gaussian
+    # index directly (saves a 2M-wide gather after the sort).
     pair_tile = tile_id.reshape(-1)
-    pair_pos = jnp.arange(n * tg_max, dtype=jnp.int32) // tg_max  # row = sorted idx
-    sorted_tile, sorted_pos = jax.lax.sort(
-        (pair_tile, pair_pos), num_keys=1, is_stable=True
+    pair_gidx = jnp.broadcast_to(order[:, None], (n, tg_max)).reshape(-1)
+    sorted_tile, sorted_gidx = jax.lax.sort(
+        (pair_tile, pair_gidx), num_keys=1, is_stable=True
     )
 
     # -- 4. per-tile segments + lane-aligned re-layout.
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
-    counts = ends - starts
+    # Segment boundaries: T+1 queries against the sorted keys (cheap).
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
 
     aligned_sizes = ((counts + lane_align - 1) // lane_align) * lane_align
     tile_offsets = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
 
+    # Scatter each sorted pair to its aligned destination. Destinations are
+    # strictly increasing over valid pairs (sorted by tile, ranks ascending,
+    # offsets ascending), so the scatter is sorted+unique — this avoids a
+    # P_pad-sized searchsorted, which costs two orders of magnitude more on
+    # TPU than table lookups + one monotone scatter.
     p_pad = n * tg_max + num_tiles * lane_align  # static worst case
-    slot_ids = jnp.arange(p_pad, dtype=jnp.int32)
-    # Which tile does each aligned slot belong to?
-    seg_end = tile_offsets + aligned_sizes
-    slot_tile = jnp.searchsorted(seg_end, slot_ids, side="right").astype(jnp.int32)
-    slot_tile_c = jnp.minimum(slot_tile, num_tiles - 1)
-    within = slot_ids - tile_offsets[slot_tile_c]
-    slot_ok = (slot_tile < num_tiles) & (within < counts[slot_tile_c])
-    src_pair = jnp.clip(starts[slot_tile_c] + within, 0, n * tg_max - 1)
-    # aligned slot -> depth-sorted gaussian -> original gaussian index
-    pair_src = jnp.where(slot_ok, order[sorted_pos[src_pair]], -1)
+    if pair_budget_factor > 0:
+        p_pad = min(p_pad, n * pair_budget_factor + num_tiles * lane_align)
+    p_idx = jnp.arange(n * tg_max, dtype=jnp.int32)
+    tile_c = jnp.minimum(sorted_tile, num_tiles - 1)
+    # dst = offset[tile] + (p - start[tile]): fold the two tables into one.
+    delta = tile_offsets - starts  # [T]
+    dst = p_idx + jnp.take(delta, tile_c)
+    valid = sorted_tile < num_tiles
+    # invalid pairs (the sorted tail) get distinct, increasing OOB indices,
+    # disjoint from any (possibly budget-overflowing) valid dst, so the
+    # sorted+unique hints stay sound under mode="drop"
+    oob_base = n * tg_max + num_tiles * lane_align
+    dst_full = jnp.where(valid, dst, oob_base + p_idx)
+    pair_src = jnp.full((p_pad,), -1, jnp.int32).at[dst_full].set(
+        sorted_gidx, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+
+    # Budget truncation: segments that spill past p_pad lose their farthest
+    # pairs (counts clamped so kernels never read past the buffer).
+    counts_eff = jnp.clip(p_pad - tile_offsets, 0, counts)
+    overflow = overflow + jnp.sum(counts - counts_eff).astype(jnp.int32)
+    tile_offsets = jnp.minimum(tile_offsets, p_pad - lane_align)
 
     return TileBins(
         pair_src=pair_src.astype(jnp.int32),
         tile_offsets=tile_offsets,
-        tile_counts=counts,
+        tile_counts=counts_eff,
         overflow_count=overflow,
         depth_order=order,
     )
