@@ -99,8 +99,11 @@ def composite_tiles_xla(
         jnp.zeros((T, 3, n_px), jnp.float32),
         jnp.ones((T, n_px), jnp.float32),
     )
+    # remat: without this, autodiff through the scan stores every chunk's
+    # [T, G, Px] intermediates (OOM at production scale); recomputing the
+    # chunk math in the backward matches what the Pallas kernel does anyway.
     (log_t, accum, t_min), _ = jax.lax.scan(
-        body, init, jnp.arange(n_chunks), unroll=1
+        jax.checkpoint(body), init, jnp.arange(n_chunks), unroll=1
     )
     return accum, t_min
 
