@@ -1,0 +1,222 @@
+"""CLI driver: train / test the object, hand and composite workloads.
+
+Mirrors the reference entrypoint (/root/reference/main.py): pick an
+experiment config by name, apply dotted overrides, snapshot the resolved
+config into the run directory, resolve checkpoints ("best" supported),
+seed, then run.
+
+  python main.py --config-name OBJ_GAUSSIAN trainer.max_steps=2000 \
+      dataset.kind=synthetic trainer.exp_name=run1
+  python main.py --config-name HAND_GAUSSIAN dataset.kind=brics_dynamic \
+      dataset.root=/data/subject0 ...
+  python main.py --config-name COMPOSITE hand_ckpt_dir=... object_ckpt_dir=...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_dataset(cfg, split: str):
+    d = cfg.dataset
+    if d.kind == "synthetic":
+        from manus_tpu.data.synthetic import (
+            build_synthetic_dynamic,
+            build_synthetic_static,
+        )
+
+        if cfg.workload == "object":
+            return build_synthetic_static(
+                width=d.width, height=d.height, num_cameras=d.num_cameras,
+                bg_color=d.bg_color,
+            )
+        return build_synthetic_dynamic(
+            width=d.width, height=d.height, num_cameras=d.num_cameras,
+            num_frames=max(d.num_frames, 2), bg_color=d.bg_color,
+        )
+    if d.kind == "brics_static":
+        from manus_tpu.data.brics import BricsStaticDataset
+
+        return BricsStaticDataset(
+            root_dir=d.root, params_dir=os.path.join(d.root, "calib"),
+            width=d.width, height=d.height, split=split, bg_color=d.bg_color,
+        )
+    if d.kind == "brics_dynamic":
+        from manus_tpu.data.brics import BricsDynamicDataset
+
+        return BricsDynamicDataset(
+            root_dir=d.root, width=d.width, height=d.height, split=split,
+            bg_color=d.bg_color, num_time_steps=d.num_frames,
+            split_ratio=d.split_ratio,
+        )
+    raise ValueError(f"unknown dataset kind {d.kind}")
+
+
+def build_hand_pieces(cfg, dataset):
+    """Init model + optional voxel skinning grid for the hand workload."""
+    import jax.numpy as jnp
+
+    from manus_tpu.data.voxel import build_voxel_grid, load_mano_rest
+    from manus_tpu.models.gaussians import init_gaussian_model
+    from manus_tpu.ops.knn import knn_indices
+
+    pts, cols = dataset.sample_gaussians_on_bones(cfg.dataset.sample_size)
+    voxel_grid = None
+    skin = None
+    if cfg.skin_init == "mano_init_voxel":
+        kp = np.asarray(dataset.bones_rest.keypoints())
+        voxel_grid = build_voxel_grid(
+            kp, mano=load_mano_rest(), res=cfg.dataset.grid_res,
+            ratio=cfg.dataset.grid_size, offset=cfg.dataset.grid_offset,
+            num_bones=dataset.bones_rest.num_bones,
+        )
+    else:  # mano_init_points
+        mano = load_mano_rest()
+        if mano is not None:
+            from manus_tpu.data.voxel import MANO_TO_OURS
+
+            idx = np.asarray(
+                knn_indices(jnp.asarray(pts), jnp.asarray(mano["verts"]), 20)
+            )
+            w = mano["weights"][:, MANO_TO_OURS]
+            skin = w[idx].mean(axis=1)
+            skin = skin / np.maximum(skin.sum(-1, keepdims=True), 1e-8)
+        else:
+            # nearest-bone hard weights fallback
+            skin = np.ones((pts.shape[0], dataset.bones_rest.num_bones))
+            skin /= skin.sum(-1, keepdims=True)
+    model = init_gaussian_model(
+        pts, cols, cfg.capacity, opts=cfg.model, skin_weights=skin
+    )
+    return model, voxel_grid
+
+
+def run_train(cfg, out_dir):
+    from manus_tpu.models.gaussians import init_gaussian_model
+    from manus_tpu.train.trainer import Trainer
+
+    dataset = build_dataset(cfg, "train")
+    if cfg.workload == "object":
+        pts, cols = dataset.sample_gaussians(cfg.dataset.sample_size)
+        model = init_gaussian_model(pts, cols, cfg.capacity, opts=cfg.model)
+        voxel_grid = None
+        articulated = False
+    else:
+        model, voxel_grid = build_hand_pieces(cfg, dataset)
+        articulated = True
+
+    tr = Trainer(cfg, dataset, model, articulated, voxel_grid, out_dir=out_dir)
+    if cfg.checkpoint:
+        path, n_bad = tr.load(cfg.checkpoint)
+        print(f"resumed from {path} (scrubbed {n_bad} NaN slots)")
+    tr.fit()
+    psnr = tr.validate(cfg.trainer.max_steps)
+    print(f"final val psnr: {psnr:.2f}")
+    return tr
+
+
+def run_composite(cfg, out_dir):
+    import cv2
+    import jax.numpy as jnp
+
+    from manus_tpu.ops.rasterizer.api import RasterConfig
+    from manus_tpu.train import checkpoint as ckpt_mod
+    from manus_tpu.train.composite import CompositeModels, make_composite_render
+    from manus_tpu.train.workloads import resolve_skin_weights
+    from manus_tpu.data.voxel import visualize_skin_weights
+    from manus_tpu.ops.skinning import bone_deformation_transforms
+    from manus_tpu.utils.camera import index_camera
+
+    dataset = build_dataset(cfg, "test")
+
+    def load_model(ckpt_dir):
+        path = ckpt_mod.find_best_checkpoint(ckpt_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+        model, voxel_grid, _ = ckpt_mod.load_gaussian_model(path)
+        print(f"loaded {path} ({int(model.num_active())} gaussians)")
+        return model, voxel_grid
+
+    hand, hand_vg = load_model(cfg.hand_ckpt_dir)
+    obj, _ = load_model(cfg.object_ckpt_dir)
+    models = CompositeModels(hand=hand, obj=obj, voxel_grid=hand_vg)
+
+    raster_cfg = RasterConfig(
+        tg_max=cfg.raster.tg_max, chunk=cfg.raster.chunk,
+        pallas_chunk=cfg.raster.pallas_chunk,
+        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
+        backend=cfg.raster.backend,
+    )
+    mode = cfg.contact_render_type
+    render_fn = make_composite_render(cfg, raster_cfg, mode)
+
+    out_imgs = os.path.join(out_dir, "results", "eval_results", "ours")
+    os.makedirs(out_imgs, exist_ok=True)
+    acc = jnp.zeros(hand.capacity)
+    skin_w = resolve_skin_weights(hand, hand_vg)
+    aux_colors = jnp.asarray(
+        visualize_skin_weights(np.asarray(skin_w))
+        if skin_w is not None
+        else np.zeros((hand.capacity, 3), np.float32)
+    )
+    bg = jnp.zeros(3)
+    frames = []
+    cano_cam = index_camera(dataset.cameras, 0)
+    for f in range(dataset.num_frames):
+        bone_tf = bone_deformation_transforms(
+            dataset.bones_posed[f].transforms, dataset.bones_rest.transforms,
+            append_identity=hand_vg is not None,
+        )
+        cam = index_camera(dataset.cameras, f % dataset.num_views)
+        render, acc, _ = render_fn(
+            models, bone_tf, cam, cano_cam, bg, acc, aux_colors
+        )
+        img = np.clip(np.asarray(render), 0, 1)
+        frames.append((img * 255).astype(np.uint8))
+        cv2.imwrite(
+            os.path.join(out_imgs, f"{f:04d}.png"),
+            cv2.cvtColor(frames[-1], cv2.COLOR_RGB2BGR),
+        )
+    np.save(os.path.join(out_imgs, "acc_contacts.npy"), np.asarray(acc))
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(
+        os.path.join(out_imgs, f"{mode}.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h),
+    )
+    for fr in frames:
+        vw.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    vw.release()
+    print(f"composite: wrote {len(frames)} frames to {out_imgs}")
+
+
+def main(argv=None):
+    from manus_tpu.config import CONFIGS, apply_overrides, save_config
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", required=True, choices=CONFIGS)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    cfg = CONFIGS[args.config_name]()
+    apply_overrides(cfg, args.overrides)
+
+    out_dir = os.path.join(
+        cfg.trainer.output_dir, cfg.trainer.project,
+        cfg.dataset.subject or "synthetic", cfg.trainer.exp_name,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, "config.json"))
+
+    np.random.seed(cfg.trainer.seed)
+
+    if cfg.workload == "composite" or cfg.trainer.mode == "test":
+        run_composite(cfg, out_dir)
+    else:
+        run_train(cfg, out_dir)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

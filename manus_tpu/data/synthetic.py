@@ -202,6 +202,9 @@ class SyntheticStaticDataset:
     def num_views(self) -> int:
         return self.images.shape[0]
 
+    def get_batch(self, frame: int, views):
+        return dict(rgb=self.images[views], mask=self.masks[views])
+
     def sample_gaussians(self, n: int, seed: int = 1):
         """Noisy init cloud near the GT surface (reference samples an NGP
         mesh + noise; we perturb GT means)."""
@@ -275,6 +278,9 @@ class SyntheticDynamicDataset:
     @property
     def num_frames(self):
         return self.images.shape[0]
+
+    def get_batch(self, frame: int, views):
+        return dict(rgb=self.images[frame, views], mask=self.masks[frame, views])
 
     def sample_gaussians_on_bones(self, samples_per_bone: int, seed: int = 1):
         return sample_gaussians_on_bones(

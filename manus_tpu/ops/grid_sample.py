@@ -67,7 +67,13 @@ def skinning_weights_from_voxel_grid(
     xyz_norm = (xyz - grid_center.reshape(1, 3)) / grid_scale.reshape(1, 3)
     wts = grid_sample_trilinear(grid_weights, xyz_norm)
     denom = jnp.sum(wts, axis=-1, keepdims=True)
-    return wts / jnp.where(denom == 0.0, 1.0, denom)
+    wts = wts / jnp.where(denom == 0.0, 1.0, denom)
+    # Points outside the grid sample all-zero weights; route them to the
+    # last (background/identity) channel so their blended transform stays
+    # non-singular. (The reference leaves this as a TODO and lets NaNs
+    # propagate; here the mask-prune phase removes such points cleanly.)
+    bg = jnp.zeros((1, wts.shape[-1]), wts.dtype).at[0, -1].set(1.0)
+    return jnp.where(denom == 0.0, bg, wts)
 
 
 def offsets_from_voxel_grid(xyz, grid_center, grid_scale, grid_offsets):

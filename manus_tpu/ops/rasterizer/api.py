@@ -77,7 +77,15 @@ def calculate_colors_from_sh(
         cam_h = homogenize_points(
             jnp.broadcast_to(camera.camera_center, cano_means.shape)
         )
-        cam_inv = jnp.einsum("nij,nj->ni", jnp.linalg.inv(tf), cam_h)[..., :3]
+        # guard singular blended transforms (e.g. zero skin weights): view
+        # dirs fall back to the un-transformed camera center for those rows
+        det = jnp.linalg.det(tf[..., :3, :3])
+        ok = jnp.abs(det) > 1e-12
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=tf.dtype), tf.shape)
+        tf_safe = jnp.where(ok[:, None, None], tf, eye)
+        cam_inv = jnp.einsum(
+            "nij,nj->ni", jnp.linalg.inv(tf_safe), cam_h
+        )[..., :3]
         dirs = cano_means - cam_inv
     else:
         dirs = posed_means - camera.camera_center

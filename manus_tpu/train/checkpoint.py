@@ -77,6 +77,61 @@ def load_checkpoint(path: str, state_template) -> Tuple[object, dict]:
     return jax.tree_util.tree_unflatten(treedef, leaves), extra
 
 
+def load_raw(path: str):
+    """Load a checkpoint as (arrays dict keyed by pytree path, extras)."""
+    data = np.load(path)
+    extra, arrays = {}, {}
+    for key in data.files:
+        if key.startswith("__extra__/"):
+            extra[key[len("__extra__/"):]] = data[key]
+        else:
+            arrays[key] = data[key]
+    return arrays, extra
+
+
+def load_gaussian_model(path: str):
+    """Reconstruct a GaussianModel (+optional voxel grid) from a checkpoint
+    without a shape template — capacity and skinning layout come from the
+    file. This is how the composite workload loads its two trained models
+    (reference load_modules semantics, train_utils.py:30-47)."""
+    import jax.numpy as jnp
+
+    from manus_tpu.models.gaussians import GaussianModel, GaussianParams
+
+    arrays, extra = load_raw(path)
+
+    def find(suffix):
+        for k, v in arrays.items():
+            if k.endswith(suffix):
+                return jnp.asarray(v)
+        return None
+
+    params = GaussianParams(
+        xyz=find("params/.xyz"),
+        features_dc=find("params/.features_dc"),
+        features_rest=find("params/.features_rest"),
+        scaling=find("params/.scaling"),
+        rotation=find("params/.rotation"),
+        opacity=find("params/.opacity"),
+    )
+    model = GaussianModel(
+        params=params,
+        active=find("model/.active"),
+        skin_weights=find("model/.skin_weights"),
+    )
+    voxel_grid = None
+    if "vg_weights" in extra:
+        from manus_tpu.train.workloads import VoxelGrid
+
+        voxel_grid = VoxelGrid(
+            center=jnp.asarray(extra["vg_center"]),
+            scale=jnp.asarray(extra["vg_scale"]),
+            weights=jnp.asarray(extra["vg_weights"]),
+        )
+    model, _ = scrub_nan_slots(model)
+    return model, voxel_grid, extra
+
+
 def scrub_nan_slots(model):
     """Deactivate slots with non-finite parameters (reference
     remove_nans_from_checkpoint, train_utils.py:165-190)."""

@@ -96,25 +96,18 @@ class Trainer:
     def sample_batch(self):
         v = self.cfg.trainer.batch_views
         ds = self.dataset
+        f = self._rng.randint(0, ds.num_frames) if self.articulated else 0
+        views = self._rng.randint(0, ds.num_views, size=v)
+        raw = ds.get_batch(f, views)
+        batch = {
+            "rgb": jnp.asarray(raw["rgb"], jnp.float32),
+            "mask": jnp.asarray(raw["mask"], jnp.float32),
+            "cameras": index_camera(ds.cameras, views),
+            "bg": jnp.asarray(self.bg),
+        }
         if self.articulated:
-            f = self._rng.randint(0, ds.num_frames)
-            views = self._rng.randint(0, ds.num_views, size=v)
-            batch = {
-                "rgb": jnp.asarray(ds.images[f, views]),
-                "mask": jnp.asarray(ds.masks[f, views], jnp.float32),
-                "cameras": index_camera(ds.cameras, views),
-                "bg": jnp.asarray(self.bg),
-                "bone_tf": self._bone_tf(f),
-                "keypoints": jnp.asarray(ds.bones_posed[f].keypoints()),
-            }
-        else:
-            views = self._rng.randint(0, ds.num_views, size=v)
-            batch = {
-                "rgb": jnp.asarray(ds.images[views]),
-                "mask": jnp.asarray(ds.masks[views], jnp.float32),
-                "cameras": index_camera(ds.cameras, views),
-                "bg": jnp.asarray(self.bg),
-            }
+            batch["bone_tf"] = self._bone_tf(f)
+            batch["keypoints"] = jnp.asarray(ds.bones_posed[f].keypoints())
         return batch
 
     def _bone_tf(self, frame: int):
@@ -198,15 +191,10 @@ class Trainer:
         ds = self.dataset
         psnrs, ssims, times = [], [], []
         for vi in range(min(num_views, ds.num_views)):
-            if self.articulated:
-                f = 0
-                rgb = jnp.asarray(ds.images[f, vi])
-                mask = jnp.asarray(ds.masks[f, vi], jnp.float32)
-                extra = dict(bone_tf=self._bone_tf(f))
-            else:
-                rgb = jnp.asarray(ds.images[vi])
-                mask = jnp.asarray(ds.masks[vi], jnp.float32)
-                extra = {}
+            raw = ds.get_batch(0, np.asarray([vi]))
+            rgb = jnp.asarray(raw["rgb"][0], jnp.float32)
+            mask = jnp.asarray(raw["mask"][0], jnp.float32)
+            extra = dict(bone_tf=self._bone_tf(0)) if self.articulated else {}
             cam = index_camera(ds.cameras, vi)
             t0 = time.time()
             out = self.eval_step(
@@ -228,9 +216,15 @@ class Trainer:
 
     # ---- checkpointing --------------------------------------------------
     def save(self, step: int, loss: float):
+        extra = dict(num_active=np.asarray(self.state.model.num_active()))
+        if self.voxel_grid is not None:
+            extra.update(
+                vg_center=np.asarray(self.voxel_grid.center),
+                vg_scale=np.asarray(self.voxel_grid.scale),
+                vg_weights=np.asarray(self.voxel_grid.weights),
+            )
         return ckpt_mod.save_checkpoint(
-            self.ckpt_dir, self.state, step, loss,
-            extra=dict(num_active=np.asarray(self.state.model.num_active())),
+            self.ckpt_dir, self.state, step, loss, extra=extra
         )
 
     def load(self, path: Optional[str] = None):

@@ -138,7 +138,7 @@ def test_checkpoint_roundtrip(tmp_path, static_ds):
     tr = Trainer(cfg, static_ds, model, articulated=False,
                  out_dir=str(tmp_path))
     tr.fit(log=lambda *a: None)
-    path = tr.save(99, 0.5)
+    path = tr.save(99, 0.0001)  # lowest loss => resolved as "best"
     xyz_before = np.asarray(tr.state.model.params.xyz)
     tr.state = tr.state._replace(
         model=tr.state.model._replace(
