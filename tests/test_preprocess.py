@@ -1,0 +1,132 @@
+"""Preprocess pipeline tests: triangulation, one-euro, IK."""
+import numpy as np
+import jax.numpy as jnp
+
+from manus_tpu.preprocess.ik import (
+    chain_forward,
+    make_chain,
+    solve_ik,
+    update_bone_lengths,
+)
+from manus_tpu.preprocess.one_euro import OneEuroFilter, filter_sequence
+from manus_tpu.preprocess.triangulate import (
+    batch_triangulate,
+    iterative_triangulate,
+)
+
+
+def _projection_setup(num_views=6, seed=0):
+    rng = np.random.RandomState(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    Ps, Rs, ts = [], [], []
+    for i in range(num_views):
+        theta = 2 * np.pi * i / num_views
+        pos = 3.0 * np.array([np.sin(theta), 0.3, np.cos(theta)])
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd])
+        t = -R @ pos
+        Ps.append(K @ np.concatenate([R, t[:, None]], axis=1))
+    return np.stack(Ps)
+
+
+def test_triangulation_recovers_points():
+    P = _projection_setup()
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(-0.3, 0.3, (21, 3))
+    homo = np.concatenate([pts, np.ones((21, 1))], axis=1)
+    proj = np.einsum("vab,jb->vja", P, homo)
+    xy = proj[..., :2] / proj[..., 2:]
+    kp = np.concatenate([xy, np.ones((P.shape[0], 21, 1))], axis=-1)
+    out = np.asarray(batch_triangulate(jnp.asarray(kp), jnp.asarray(P)))
+    np.testing.assert_allclose(out[:, :3], pts, atol=1e-4)
+    np.testing.assert_allclose(out[:, 3], 1.0)
+
+
+def test_iterative_triangulation_rejects_outliers():
+    P = _projection_setup()
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-0.3, 0.3, (21, 3))
+    homo = np.concatenate([pts, np.ones((21, 1))], axis=1)
+    proj = np.einsum("vab,jb->vja", P, homo)
+    xy = proj[..., :2] / proj[..., 2:]
+    xy[0] += 300.0  # corrupt one view badly
+    kp = np.concatenate([xy, np.ones((P.shape[0], 21, 1))], axis=-1)
+    naive = np.asarray(batch_triangulate(jnp.asarray(kp), jnp.asarray(P)))
+    robust = np.asarray(iterative_triangulate(jnp.asarray(kp), jnp.asarray(P)))
+    err_naive = np.abs(naive[:, :3] - pts).max()
+    err_robust = np.abs(robust[:, :3] - pts).max()
+    assert err_robust < 1e-3
+    assert err_robust < err_naive
+
+
+def test_one_euro_smooths():
+    rng = np.random.RandomState(0)
+    t = np.arange(100, dtype=np.float64)
+    clean = np.sin(t / 30)[:, None]
+    noisy = clean + rng.normal(0, 0.2, (100, 1))
+    smoothed = np.asarray(
+        filter_sequence(jnp.asarray(t), jnp.asarray(noisy),
+                        min_cutoff=0.1, beta=0.0)
+    )
+    assert np.abs(smoothed - clean).mean() < np.abs(noisy - clean).mean()
+
+    # streaming variant agrees with the scan variant
+    f = OneEuroFilter(t[:1], noisy[0:1], min_cutoff=0.1)
+    stream = [noisy[0:1]]
+    for i in range(1, 100):
+        stream.append(f(t[i : i + 1], noisy[i : i + 1]))
+    stream = np.concatenate(stream)
+    np.testing.assert_allclose(stream, smoothed, atol=1e-4)
+
+
+def _two_finger_chain():
+    # 1 root bone + one 2-bone finger, all along +Y
+    bnames = ["bone_0", "bone_1", "bone_2"]
+    parents = [-1, 0, 1]
+    rest = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    heads = np.array([[0, 0, 0], [0, 0.3, 0], [0, 0.5, 0]], np.float32)
+    tails = np.array([[0, 0.3, 0], [0, 0.5, 0], [0, 0.7, 0]], np.float32)
+    rest[:, :3, 3] = heads
+    return make_chain(bnames, parents, rest, heads, tails)
+
+
+def test_chain_forward_identity():
+    chain = _two_finger_chain()
+    kp, heads, tails = chain_forward(
+        chain, jnp.zeros(3), jnp.zeros((4, 3))
+    )
+    np.testing.assert_allclose(np.asarray(heads), chain.heads, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tails), chain.tails, atol=1e-5)
+
+
+def test_ik_recovers_pose():
+    chain = _two_finger_chain()
+    # target: bend bone_2 about z by 0.5 rad, translate root
+    gt_angles = np.zeros((4, 3), np.float32)
+    gt_angles[3, 2] = -0.5
+    gt_trans = np.array([0.05, -0.02, 0.03], np.float32)
+    target, _, _ = chain_forward(
+        chain, jnp.asarray(gt_trans), jnp.asarray(gt_angles)
+    )
+    to_use = jnp.ones(target.shape[0], bool)
+    trans, angles, loss = solve_ik(
+        chain, target, to_use, constraint=False, limit=False,
+        lr=5e-2, max_iter=400,
+    )
+    pred, _, _ = chain_forward(chain, trans, angles)
+    assert loss < 1e-5
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(target), atol=5e-3)
+
+
+def test_update_bone_lengths():
+    chain = _two_finger_chain()
+    kp = np.zeros((2, 4, 4), np.float32)
+    kp[:, :, 3] = 1.0
+    kp[:, 1, 1] = 0.6  # tail of bone_0 twice as far
+    kp[:, 2, 1] = 0.8
+    kp[:, 3, 1] = 1.0
+    chain2 = update_bone_lengths(chain, kp)
+    np.testing.assert_allclose(chain2.bone_lengths, [0.6, 0.2, 0.2], atol=1e-5)
