@@ -192,6 +192,78 @@ def run_composite(cfg, out_dir):
     print(f"composite: wrote {len(frames)} frames to {out_imgs}")
 
 
+def run_render_path(cfg, out_dir):
+    """Novel-view rendering along a Blender camera path (reference
+    TestDataset camera-path mode, brics_static.py:200-258 /
+    brics_dynamic.py:485-696): load a trained model, sweep the pkl path
+    cameras, animate the hand with reference skeleton poses if present."""
+    import jax.numpy as jnp
+
+    from manus_tpu.data.synthetic import load_reference_skeleton
+    from manus_tpu.models.gaussians import (
+        get_covariance, get_features, get_opacity,
+    )
+    from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
+    from manus_tpu.ops.skinning import (
+        bone_deformation_transforms, skin_gaussians,
+    )
+    from manus_tpu.train import checkpoint as ckpt_mod
+    from manus_tpu.train.workloads import resolve_skin_weights
+    from manus_tpu.utils.io import dump_video, load_camera_path
+
+    path = ckpt_mod.find_best_checkpoint(cfg.render_ckpt_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.render_ckpt_dir}")
+    model, voxel_grid, _ = ckpt_mod.load_gaussian_model(path)
+    print(f"loaded {path} ({int(model.num_active())} gaussians)")
+
+    cams = load_camera_path(
+        cfg.camera_path, cfg.dataset.width, cfg.dataset.height
+    )
+    skel = load_reference_skeleton() if cfg.workload == "hand" else None
+    raster_cfg = RasterConfig(
+        tg_max=cfg.raster.tg_max, chunk=cfg.raster.chunk,
+        pallas_chunk=cfg.raster.pallas_chunk,
+        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
+        backend=cfg.raster.backend,
+    )
+    import jax
+
+    @jax.jit
+    def render_one(model, cam_tree, bone_tf):
+        params = model.params
+        skin_w = resolve_skin_weights(model, voxel_grid)
+        cov = get_covariance(params, isotropic=cfg.model.isotropic_scaling)
+        if bone_tf is not None:
+            sk = skin_gaussians(params.xyz, cov, skin_w, bone_tf)
+            posed, cov, tf = sk.posed_xyz, sk.posed_cov, sk.tf
+        else:
+            posed, tf = params.xyz, None
+        out = render_gaussians(
+            posed, cov, params.xyz, get_features(params),
+            get_opacity(params), cam_tree, jnp.zeros(3),
+            sh_degree=cfg.model.sh_degree, tf=tf, active=model.active,
+            config=raster_cfg,
+        )
+        return out.render
+
+    frames = []
+    n = min(cfg.render_frames, len(cams))
+    for i in range(n):
+        bone_tf = None
+        if skel is not None:
+            fidx = i % skel["pose_transforms"].shape[0]
+            bone_tf = bone_deformation_transforms(
+                jnp.asarray(skel["pose_transforms"][fidx]),
+                jnp.asarray(skel["rest_transforms"]),
+                append_identity=voxel_grid is not None,
+            )
+        frames.append(np.asarray(render_one(model, cams[i], bone_tf)))
+    out_path = os.path.join(out_dir, "results", "novel_path.mp4")
+    dump_video(frames, out_path, fps=15)
+    print(f"wrote {len(frames)} novel-view frames to {out_path}")
+
+
 def main(argv=None):
     from manus_tpu.config import CONFIGS, apply_overrides, save_config
 
@@ -212,7 +284,9 @@ def main(argv=None):
 
     np.random.seed(cfg.trainer.seed)
 
-    if cfg.workload == "composite" or cfg.trainer.mode == "test":
+    if cfg.trainer.mode == "render_path":
+        run_render_path(cfg, out_dir)
+    elif cfg.workload == "composite" or cfg.trainer.mode == "test":
         run_composite(cfg, out_dir)
     else:
         run_train(cfg, out_dir)

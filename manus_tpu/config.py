@@ -79,6 +79,10 @@ class ExperimentConfig:
     object_ckpt_dir: str = ""
     contact_render_type: str = "results"
     checkpoint: Optional[str] = None
+    # novel-view rendering (trainer.mode=render_path)
+    camera_path: str = "/root/reference/data/camera_paths/real.pkl"
+    render_ckpt_dir: str = ""
+    render_frames: int = 60
 
 
 def object_config() -> ExperimentConfig:

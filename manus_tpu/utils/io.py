@@ -1,0 +1,104 @@
+"""Artifact IO: PLY point dumps, image/video writers, camera paths.
+
+Counterpart of the reference vis/IO helpers (extra.py:125-165,281-289) and
+the camera-path pkl contract produced by the Blender tooling
+(scripts/process/bl_render.py) and consumed by the test datasets
+(brics_static.py:200-258). Blender remains an offline producer; its pkl
+outputs are the interface.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+def dump_points(points, path: str, colors=None):
+    """Write a point cloud as binary little-endian PLY."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    n = pts.shape[0]
+    has_color = colors is not None
+    if has_color:
+        cols = np.asarray(colors)
+        if cols.shape[-1] == 4:
+            cols = cols[..., :3]
+        if cols.max() <= 1.0 + 1e-6:
+            cols = cols * 255
+        cols = np.clip(cols, 0, 255).astype(np.uint8).reshape(-1, 3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {n}",
+                  "property float x", "property float y", "property float z"]
+        if has_color:
+            header += ["property uchar red", "property uchar green",
+                       "property uchar blue"]
+        header.append("end_header")
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        for i in range(n):
+            f.write(struct.pack("<fff", *pts[i]))
+            if has_color:
+                f.write(struct.pack("<BBB", *cols[i]))
+
+
+def dump_image(img, path: str):
+    """img: [H, W, 3] float [0,1] or uint8, RGB."""
+    import cv2
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+
+
+def dump_video(frames, path: str, fps: int = 10):
+    """frames: list of [H, W, 3] RGB uint8/float arrays."""
+    import cv2
+
+    if not frames:
+        return
+    arrs = []
+    for fr in frames:
+        a = np.asarray(fr)
+        if a.dtype != np.uint8:
+            a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+        arrs.append(a)
+    h, w = arrs[0].shape[:2]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for a in arrs:
+        vw.write(cv2.cvtColor(a, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def concat_images(*imgs, axis: int = 1):
+    return np.concatenate([np.asarray(i) for i in imgs], axis=axis)
+
+
+def load_camera_path(path: str, width: int, height: int):
+    """Load a Blender camera-path pkl ({intrs: [...], extrs: [...]}) into a
+    list of Camera objects (reference data/camera_paths contract)."""
+    from manus_tpu.utils.camera import make_camera
+
+    try:
+        import joblib
+
+        data = joblib.load(path)
+    except Exception:
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+    cams = []
+    for K, extr in zip(data["intrs"], data["extrs"]):
+        K = np.asarray(K, np.float64)
+        if K.ndim == 1:  # Blender export: (fx, fy, cx, cy)
+            fx, fy, cx, cy = K
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        extr = np.asarray(extr, np.float64)
+        if extr.shape[0] == 4:
+            extr = extr[:3]
+        cams.append(make_camera(K, extr, width, height))
+    return cams
