@@ -298,35 +298,27 @@ class BricsDynamicDataset:
             self._h5 = h5py.File(self.h5_path, "r")
         return self._h5
 
-    def _fetch_image(self, fno: str, cam_name: str):
-        """Paste the bbox crop into a full frame, resize, composite bg
+    def get_batch(self, frame: int, views):
+        """Read bbox crops from HDF5, then assemble full frames (paste +
+        composite + box resize) in the native C++ image-ops path
         (reference fetch_images, brics_dynamic.py:343-373)."""
-        import cv2
+        from manus_tpu.data.prefetch import assemble_batch_native
 
+        fno = self.frame_nos[frame]
         f = self._file()
         grp = f["frames"][fno]
-        img = np.zeros((self.full_height, self.full_width, 4), np.uint8)
-        crop = grp["images"][cam_name][:]
-        xmin, ymin, xmax, ymax = grp["bbox"][cam_name][:]
-        img[ymin:ymax, xmin:xmax] = crop
-        if self.resize_factor != 1.0:
-            img = cv2.resize(
-                img, (self.width, self.height), interpolation=cv2.INTER_AREA
-            )
-        img = img.astype(np.float32) / 255.0
-        rgb, alpha = img[..., :3], img[..., 3:]
-        bg = _bg_color(self.bg_color)
-        rgb = rgb * alpha + bg * (1.0 - alpha)
-        return rgb, alpha
-
-    def get_batch(self, frame: int, views):
-        fno = self.frame_nos[frame]
-        rgbs, masks = [], []
+        crops, bboxes = [], []
         for v in np.atleast_1d(views):
-            rgb, alpha = self._fetch_image(fno, self.cam_names[int(v)])
-            rgbs.append(rgb)
-            masks.append(alpha)
-        return dict(rgb=np.stack(rgbs), mask=np.stack(masks))
+            cam = self.cam_names[int(v)]
+            crops.append(grp["images"][cam][:])
+            bboxes.append(grp["bbox"][cam][:])
+        downscale = max(1, int(round(1.0 / self.resize_factor)))
+        rgb, mask = assemble_batch_native(
+            crops, np.asarray(bboxes, np.int32),
+            self.full_height, self.full_width,
+            _bg_color(self.bg_color), downscale=downscale,
+        )
+        return dict(rgb=rgb, mask=mask)
 
     # -- init sampling ----------------------------------------------------
     def sample_gaussians_on_bones(self, samples_per_bone: int, seed: int = 0):

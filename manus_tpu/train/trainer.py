@@ -129,8 +129,14 @@ class Trainer:
         step_last = 0
         last_loss = float("inf")
 
+        from manus_tpu.data.prefetch import PrefetchLoader
+
+        # background producer keeps batches ready (the reference's
+        # DataLoader workers); the train loop never waits on host IO
+        loader = PrefetchLoader(self.sample_batch, depth=2)
+
         for step in range(max_steps):
-            batch = self.sample_batch()
+            batch = next(loader)
             self.state, metrics = self.train_step(self.state, batch)
 
             densify_due = (
@@ -183,6 +189,7 @@ class Trainer:
                 and step % cfg.trainer.checkpoint_every == 0
             ):
                 self.save(step, last_loss)
+        loader.close()
         self.save(max_steps, last_loss)
         return self.state
 

@@ -153,3 +153,45 @@ def test_dynamic_loader(fake_dynamic_h5):
     assert ds.bones_rest.kintree is not None
     pts, cols = ds.sample_gaussians_on_bones(10)
     assert pts.shape[1] == 3
+
+
+def test_native_assembly_matches_numpy():
+    from manus_tpu.data.prefetch import assemble_batch_native
+    from manus_tpu.native import get_lib
+
+    rng = np.random.RandomState(0)
+    crops = [rng.randint(0, 255, (20, 30, 4), np.uint8) for _ in range(3)]
+    bboxes = np.asarray([[5, 8, 35, 28]] * 3, np.int32)
+    bg = np.asarray([0.2, 0.4, 0.6], np.float32)
+    rgb_n, mask_n = assemble_batch_native(crops, bboxes, 64, 64, bg)
+    # force numpy fallback by monkeypatching get_lib
+    import manus_tpu.data.prefetch as pf
+    orig = pf.get_lib
+    pf.get_lib = lambda: None
+    try:
+        rgb_p, mask_p = assemble_batch_native(crops, bboxes, 64, 64, bg)
+    finally:
+        pf.get_lib = orig
+    if get_lib() is not None:
+        np.testing.assert_allclose(rgb_n, rgb_p, atol=1e-6)
+        np.testing.assert_allclose(mask_n, mask_p, atol=1e-6)
+    # downscale path
+    rgb_d, mask_d = assemble_batch_native(crops, bboxes, 64, 64, bg,
+                                          downscale=2)
+    assert rgb_d.shape == (3, 32, 32, 3)
+
+
+def test_prefetch_loader():
+    from manus_tpu.data.prefetch import PrefetchLoader
+
+    counter = {"n": 0}
+
+    def sample():
+        counter["n"] += 1
+        return counter["n"]
+
+    loader = PrefetchLoader(sample, depth=2)
+    got = [next(loader) for _ in range(5)]
+    loader.close()
+    assert got == sorted(got)
+    assert len(got) == 5
