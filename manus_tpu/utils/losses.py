@@ -39,29 +39,33 @@ def psnr(pred: jax.Array, gt: jax.Array, valid_mask=None) -> jax.Array:
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
-    """Separable 2D Gaussian window, normalised (loss_utils.py:38-54)."""
+    """Normalised 1D Gaussian kernel (loss_utils.py:38-54); the 2D window
+    is its outer product, applied separably."""
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2)
     )
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_blur(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Per-channel 2D convolution with zero padding window//2.
+def _depthwise_blur(img: jax.Array, window1d: jax.Array) -> jax.Array:
+    """Per-channel separable Gaussian blur with zero padding ws//2.
 
-    img: [H, W, C]. Uses a grouped lax conv so XLA maps it to the MXU.
+    img: [H, W, C]. The 2D Gaussian window is an outer product of a 1D
+    kernel, so two 1D grouped convs (2*ws taps) replace one ws*ws conv —
+    ~6x fewer FLOPs at ws=11, which matters since depthwise convs lower
+    poorly on the MXU.
     """
     c = img.shape[-1]
-    ws = window.shape[0]
+    ws = window1d.shape[0]
     x = img[None].transpose(0, 3, 1, 2)  # [1, C, H, W]
-    kernel = jnp.broadcast_to(window[None, None], (c, 1, ws, ws))
+    k_row = jnp.broadcast_to(window1d[None, None, None, :], (c, 1, 1, ws))
+    k_col = jnp.broadcast_to(window1d[None, None, :, None], (c, 1, ws, 1))
     out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(ws // 2, ws // 2)] * 2,
+        x, k_row, (1, 1), [(0, 0), (ws // 2, ws // 2)],
+        feature_group_count=c,
+    )
+    out = jax.lax.conv_general_dilated(
+        out, k_col, (1, 1), [(ws // 2, ws // 2), (0, 0)],
         feature_group_count=c,
     )
     return out[0].transpose(1, 2, 0)
