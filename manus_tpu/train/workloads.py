@@ -176,25 +176,38 @@ def make_train_step(
         )
         cam0 = index_camera(batch["cameras"], 0)
         posed = jax.lax.stop_gradient(aux["posed_xyz"])
-        keypoints = batch.get("keypoints") if articulated else None
-        outside = points_outside_mask(
-            cam0, posed, batch["mask"][0], keypoints=keypoints,
-            dilate=articulated, active=model.active,
-        )
+
+        def seg_signal(_):
+            keypoints = batch.get("keypoints") if articulated else None
+            return points_outside_mask(
+                cam0, posed, batch["mask"][0], keypoints=keypoints,
+                dilate=articulated, active=model.active,
+            )
+
+        def no_signal(_):
+            return jnp.zeros((n,), bool)
+
+        # lax.cond skips the projection/dilation work outside the seg phase
+        outside = jax.lax.cond(in_seg_phase, seg_signal, no_signal, None)
         if articulated:
             # distance-to-skeleton prune every 100 steps after the seg phase
             # (reference hand_dynamic.py:209-217)
-            kp = batch["keypoints"]
-            dist = jnp.mean(
-                jnp.linalg.norm(posed[:, None, :] - kp[None, :, :], axis=-1),
-                axis=1,
-            )
-            far = (dist > opts.skeleton_dist_threshold) & model.active
             do_far = (step % 100 == 0) & (step >= opts.remove_seg_end)
-            outside = jnp.where(in_seg_phase, outside,
-                                jnp.where(do_far, far, jnp.zeros_like(far)))
-        else:
-            outside = jnp.where(in_seg_phase, outside, jnp.zeros_like(outside))
+
+            def far_signal(_):
+                kp = batch["keypoints"]
+                dist = jnp.mean(
+                    jnp.linalg.norm(
+                        posed[:, None, :] - kp[None, :, :], axis=-1
+                    ),
+                    axis=1,
+                )
+                return (dist > opts.skeleton_dist_threshold) & model.active
+
+            far = jax.lax.cond(
+                do_far & ~in_seg_phase, far_signal, no_signal, None
+            )
+            outside = outside | far
 
         do_prune = jnp.any(outside)
         new_active = jnp.where(do_prune, model.active & ~outside, model.active)
