@@ -78,25 +78,33 @@ def project_gaussians(
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
 
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    R = camera.extr[:3, :3]  # world -> camera rotation
-    Sigma = build_symmetric(cov3d)  # [N, 3, 3]
-    hi = jax.lax.Precision.HIGHEST
-    JR = jnp.matmul(J, R, precision=hi)  # [N, 2, 3]
-    cov2d = jnp.matmul(
-        jnp.matmul(JR, Sigma, precision=hi),
-        jnp.swapaxes(JR, -1, -2), precision=hi,
-    )  # [N, 2, 2]
-    cxx = cov2d[:, 0, 0] + COV2D_DILATION
-    cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + COV2D_DILATION
+    # EWA in explicit scalar form: the [N,2,3]x[3,3] batched matmuls pad
+    # their tiny contraction dims onto the MXU (~10ms at 65k gaussians);
+    # the unrolled VPU form is ~1ms. J rows: (fx/tz, 0, -fx*tx/tz^2) and
+    # (0, fy/tz, -fy*ty/tz^2); R is the world->camera rotation.
+    R = camera.extr[:3, :3]
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    # JR[0,:] = j00*R[0,:] + j02*R[2,:];  JR[1,:] = j11*R[1,:] + j12*R[2,:]
+    a0 = j00 * R[0, 0] + j02 * R[2, 0]
+    a1 = j00 * R[0, 1] + j02 * R[2, 1]
+    a2 = j00 * R[0, 2] + j02 * R[2, 2]
+    b0 = j11 * R[1, 0] + j12 * R[2, 0]
+    b1 = j11 * R[1, 1] + j12 * R[2, 1]
+    b2 = j11 * R[1, 2] + j12 * R[2, 2]
+    sxx, sxy, sxz, syy, syz, szz = jnp.moveaxis(cov3d, -1, 0)
+    # u = a . Sigma, v = b . Sigma
+    u0 = a0 * sxx + a1 * sxy + a2 * sxz
+    u1 = a0 * sxy + a1 * syy + a2 * syz
+    u2 = a0 * sxz + a1 * syz + a2 * szz
+    v0 = b0 * sxx + b1 * sxy + b2 * sxz
+    v1 = b0 * sxy + b1 * syy + b2 * syz
+    v2 = b0 * sxz + b1 * syz + b2 * szz
+    cxx = u0 * a0 + u1 * a1 + u2 * a2 + COV2D_DILATION
+    cxy = u0 * b0 + u1 * b1 + u2 * b2
+    cyy = v0 * b0 + v1 * b1 + v2 * b2 + COV2D_DILATION
 
     det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0

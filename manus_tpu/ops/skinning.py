@@ -51,18 +51,58 @@ def skin_gaussians(
 
     Matches reference hand_dynamic.py:106-127.
     """
-    tf = jnp.einsum("nb,bij->nij", skin_weights, transforms,
-                    precision=jax.lax.Precision.HIGHEST)  # [N, 4, 4]
-    ones = jnp.ones_like(cano_xyz[:, :1])
-    xyz_h = jnp.concatenate([cano_xyz, ones], axis=-1)
-    posed_xyz = jnp.einsum("nij,nj->ni", tf, xyz_h)[:, :3]
+    # weight blend: a true [N, B] x [B, 16] matmul — MXU-friendly as-is
+    b = transforms.shape[0]
+    tf = jnp.matmul(
+        skin_weights, transforms.reshape(b, 16),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, 4, 4)
 
-    rot = tf[:, :3, :3]
-    cov_full = build_symmetric(cano_cov)
-    posed_cov = jnp.einsum("nij,njk,nlk->nil", rot, cov_full, rot,
-                           precision=jax.lax.Precision.HIGHEST)
+    # posed means + R Sigma R^T in explicit scalar form: batched [N,3,3]
+    # matmuls pad 3 -> 128 on the MXU and cost ~10ms at 65k gaussians; the
+    # unrolled VPU form is ~1ms.
+    r00, r01, r02 = tf[:, 0, 0], tf[:, 0, 1], tf[:, 0, 2]
+    r10, r11, r12 = tf[:, 1, 0], tf[:, 1, 1], tf[:, 1, 2]
+    r20, r21, r22 = tf[:, 2, 0], tf[:, 2, 1], tf[:, 2, 2]
+    x, y, z = cano_xyz[:, 0], cano_xyz[:, 1], cano_xyz[:, 2]
+    posed_xyz = jnp.stack(
+        [
+            r00 * x + r01 * y + r02 * z + tf[:, 0, 3],
+            r10 * x + r11 * y + r12 * z + tf[:, 1, 3],
+            r20 * x + r21 * y + r22 * z + tf[:, 2, 3],
+        ],
+        axis=-1,
+    )
+
+    sxx, sxy, sxz, syy, syz, szz = jnp.moveaxis(cano_cov, -1, 0)
+
+    def row_sigma(a, b_, c):  # (a,b,c) . Sigma -> 3-vector
+        return (
+            a * sxx + b_ * sxy + c * sxz,
+            a * sxy + b_ * syy + c * syz,
+            a * sxz + b_ * syz + c * szz,
+        )
+
+    m0 = row_sigma(r00, r01, r02)
+    m1 = row_sigma(r10, r11, r12)
+    m2 = row_sigma(r20, r21, r22)
+
+    def dot_row(m, a, b_, c):
+        return m[0] * a + m[1] * b_ + m[2] * c
+
+    posed_cov = jnp.stack(
+        [
+            dot_row(m0, r00, r01, r02),
+            dot_row(m0, r10, r11, r12),
+            dot_row(m0, r20, r21, r22),
+            dot_row(m1, r10, r11, r12),
+            dot_row(m1, r20, r21, r22),
+            dot_row(m2, r20, r21, r22),
+        ],
+        axis=-1,
+    )
     return SkinnedGaussians(
         posed_xyz=posed_xyz,
-        posed_cov=strip_symmetric(posed_cov),
+        posed_cov=posed_cov,
         tf=tf,
     )
