@@ -139,10 +139,24 @@ def make_train_step(
             )
             return total, (out.radii, out.render, parts)
 
+        # Unrolled static loop over views, NOT vmap: batching the binning
+        # sort/scatter de-optimises their XLA lowering (2x slower even at
+        # V=1). V is small (1-8); under a sharded mesh each device unrolls
+        # only its local shard.
         cams = batch["cameras"]
-        totals, (radii, renders, parts) = jax.vmap(
-            render_view, in_axes=(0, 0, 0)
-        )(cams, batch["rgb"], m2d_off)
+        v = batch["rgb"].shape[0]
+        outs = [
+            render_view(
+                index_camera(cams, i), batch["rgb"][i], m2d_off[i]
+            )
+            for i in range(v)
+        ]
+        totals = jnp.stack([o[0] for o in outs])
+        radii = jnp.stack([o[1][0] for o in outs])
+        renders = jnp.stack([o[1][1] for o in outs])
+        parts = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[o[1][2] for o in outs]
+        )
         loss = jnp.mean(totals)
         return loss, dict(radii=radii, renders=renders, parts=parts,
                           posed_xyz=posed_xyz)
