@@ -47,28 +47,33 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_blur(img: jax.Array, window1d: jax.Array) -> jax.Array:
+@functools.lru_cache(maxsize=16)
+def _banded_blur_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
+    """[size, size] banded Toeplitz matrix applying the 1D Gaussian with
+    zero padding (rows near the border simply see fewer taps)."""
+    g = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    m = np.zeros((size, size), np.float32)
+    for off in range(-half, half + 1):
+        diag = np.full(size - abs(off), g[off + half], np.float32)
+        m += np.diag(diag, k=off)
+    return m
+
+
+def _depthwise_blur(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
     """Per-channel separable Gaussian blur with zero padding ws//2.
 
-    img: [H, W, C]. The 2D Gaussian window is an outer product of a 1D
-    kernel, so two 1D grouped convs (2*ws taps) replace one ws*ws conv —
-    ~6x fewer FLOPs at ws=11, which matters since depthwise convs lower
-    poorly on the MXU.
+    img: [H, W, C]. Runs as two banded-Toeplitz matmuls (rows then
+    columns) — depthwise convs lower poorly on the MXU (~7ms fwd+bwd per
+    SSIM at 512^2) while these are ordinary [512,512] matmuls.
     """
-    c = img.shape[-1]
-    ws = window1d.shape[0]
-    x = img[None].transpose(0, 3, 1, 2)  # [1, C, H, W]
-    k_row = jnp.broadcast_to(window1d[None, None, None, :], (c, 1, 1, ws))
-    k_col = jnp.broadcast_to(window1d[None, None, :, None], (c, 1, ws, 1))
-    out = jax.lax.conv_general_dilated(
-        x, k_row, (1, 1), [(0, 0), (ws // 2, ws // 2)],
-        feature_group_count=c,
-    )
-    out = jax.lax.conv_general_dilated(
-        out, k_col, (1, 1), [(ws // 2, ws // 2), (0, 0)],
-        feature_group_count=c,
-    )
-    return out[0].transpose(1, 2, 0)
+    h, w, _ = img.shape
+    bw = jnp.asarray(_banded_blur_matrix(w, window_size, sigma))
+    bh = jnp.asarray(_banded_blur_matrix(h, window_size, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("hwc,wv->hvc", img, bw, precision=hi)
+    out = jnp.einsum("hwc,hu->uwc", out, bh, precision=hi)
+    return out
 
 
 def ssim(
@@ -78,13 +83,12 @@ def ssim(
 
     img1/img2: [H, W, C] in [0, 1].
     """
-    window = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
-    mu1 = _depthwise_blur(img1, window)
-    mu2 = _depthwise_blur(img2, window)
+    mu1 = _depthwise_blur(img1, window_size, sigma)
+    mu2 = _depthwise_blur(img2, window_size, sigma)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_blur(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_blur(img1 * img2, window) - mu1_mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
