@@ -206,47 +206,59 @@ class BricsDynamicDataset:
         if sequences != "all":
             actions = [f"{a}.hdf5" for a in sequences if f"{a}.hdf5" in actions]
         assert actions, f"no .hdf5 actions under {root_dir}"
-        self.action = actions[0].split(".")[0]
-        self.h5_path = os.path.join(root_dir, actions[0])
+        self.actions = [a.split(".")[0] for a in actions]
+        self.action = self.actions[0]
 
-        with h5py.File(self.h5_path, "r") as f:
-            frame_nos = sorted(f["frames"].keys(), key=lambda s: int(s))
-            if 0 < num_time_steps < len(frame_nos):
-                frame_nos = frame_nos[:: len(frame_nos) // num_time_steps]
-            # frame split (reference splits the flat index list; we split
-            # frames, which matches split_by_action=False at view batch 1)
-            n_val = max(1, int((1 - split_ratio) * len(frame_nos))) \
-                if split_ratio > 0 else len(frame_nos)
-            self.frame_nos = (
-                frame_nos[:n_val] if split == "train" else frame_nos[n_val:]
-            ) or frame_nos
-            self.cam_names = list(f["K"].keys())
-            cams = []
-            for cam_name in self.cam_names:
-                K = f["K"][cam_name][:]
-                extr = f["extr"][cam_name][:]
-                cams.append(
-                    make_camera(K, extr, width, height,
-                                resize_factor=resize_factor)
-                )
-            self.mano_data = {
-                k: v[:] for k, v in (f.get("mano_rest") or {}).items()
-            }
-            self._metadata = {
-                fno: self._fetch_metadata(f["frames"][fno]["metadata"])
-                for fno in self.frame_nos
-            }
+        # The flat frame index spans all actions (reference index_list over
+        # (action, frame, view) triples); cameras/rig are shared across an
+        # entire subject's actions, so they come from the first file.
+        self._frame_index = []  # list of (action, fno)
+        self._metadata = {}
+        cams = None
+        for action_file in actions:
+            action = action_file.split(".")[0]
+            h5_path = os.path.join(root_dir, action_file)
+            with h5py.File(h5_path, "r") as f:
+                frame_nos = sorted(f["frames"].keys(), key=lambda s: int(s))
+                if 0 < num_time_steps < len(frame_nos):
+                    frame_nos = frame_nos[:: len(frame_nos) // num_time_steps]
+                for fno in frame_nos:
+                    self._frame_index.append((action, fno))
+                    self._metadata[(action, fno)] = self._fetch_metadata(
+                        f["frames"][fno]["metadata"]
+                    )
+                if cams is None:
+                    self.cam_names = list(f["K"].keys())
+                    cams = [
+                        make_camera(
+                            f["K"][c][:], f["extr"][c][:], width, height,
+                            resize_factor=resize_factor,
+                        )
+                        for c in self.cam_names
+                    ]
+                    self.mano_data = {
+                        k: v[:] for k, v in (f.get("mano_rest") or {}).items()
+                    }
+
+        # frame split (reference splits the flat index list; we split
+        # frames, which matches split_by_action=False at view batch 1)
+        n_val = max(1, int((1 - split_ratio) * len(self._frame_index))) \
+            if split_ratio > 0 else len(self._frame_index)
+        self._frame_index = (
+            self._frame_index[:n_val] if split == "train"
+            else self._frame_index[n_val:]
+        ) or self._frame_index
 
         self.cameras = stack_cameras(cams)
         centers = np.stack([np.asarray(c.camera_center) for c in cams], axis=1)
         self.extent = get_scene_extent(centers)
         self.width = cams[0].width
         self.height = cams[0].height
-        self.bones_rest = self._metadata[self.frame_nos[0]]["bones_rest"]
+        self.bones_rest = self._metadata[self._frame_index[0]]["bones_rest"]
         self.bones_posed = [
-            self._metadata[fno]["bones_posed"] for fno in self.frame_nos
+            self._metadata[key]["bones_posed"] for key in self._frame_index
         ]
-        self._h5 = None
+        self._h5 = {}
 
     # -- metadata ---------------------------------------------------------
     def _fetch_metadata(self, md) -> dict:
@@ -289,14 +301,16 @@ class BricsDynamicDataset:
 
     @property
     def num_frames(self) -> int:
-        return len(self.frame_nos)
+        return len(self._frame_index)
 
-    def _file(self):
+    def _file(self, action: str):
         import h5py
 
-        if self._h5 is None:
-            self._h5 = h5py.File(self.h5_path, "r")
-        return self._h5
+        if action not in self._h5:
+            self._h5[action] = h5py.File(
+                os.path.join(self.root_dir, f"{action}.hdf5"), "r"
+            )
+        return self._h5[action]
 
     def get_batch(self, frame: int, views):
         """Read bbox crops from HDF5, then assemble full frames (paste +
@@ -304,8 +318,8 @@ class BricsDynamicDataset:
         (reference fetch_images, brics_dynamic.py:343-373)."""
         from manus_tpu.data.prefetch import assemble_batch_native
 
-        fno = self.frame_nos[frame]
-        f = self._file()
+        action, fno = self._frame_index[frame]
+        f = self._file(action)
         grp = f["frames"][fno]
         crops, bboxes = [], []
         for v in np.atleast_1d(views):

@@ -22,7 +22,7 @@ and per-slot max 2D radii (gaussian.py:335-338, gaussian_utils.py:466-473).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from manus_tpu.ops.rasterizer.binning import bin_gaussians
 from manus_tpu.ops.rasterizer.projection import TILE, project_gaussians
 from manus_tpu.utils import sh as sh_mod
 from manus_tpu.utils.camera import Camera
-from manus_tpu.utils.transforms import homogenize_points
 
 
 class RasterConfig(NamedTuple):

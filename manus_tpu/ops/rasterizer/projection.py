@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from manus_tpu.utils.camera import Camera
-from manus_tpu.utils.transforms import build_symmetric, homogenize_points
+from manus_tpu.utils.transforms import homogenize_points
 
 FRUSTUM_NEAR_Z = 0.2
 COV2D_DILATION = 0.3

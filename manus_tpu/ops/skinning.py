@@ -8,12 +8,11 @@ R Sigma R^T — all shaped as batched einsums that XLA maps to the MXU.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from manus_tpu.utils.transforms import build_symmetric, strip_symmetric
 
 
 class SkinnedGaussians(NamedTuple):

@@ -21,7 +21,6 @@ import numpy as np
 from manus_tpu.config import ExperimentConfig
 from manus_tpu.train import checkpoint as ckpt_mod
 from manus_tpu.train.workloads import (
-    TrainState,
     VoxelGrid,
     init_train_state,
     make_densify_step,

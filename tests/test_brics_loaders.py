@@ -195,3 +195,26 @@ def test_prefetch_loader():
     loader.close()
     assert got == sorted(got)
     assert len(got) == 5
+
+
+def test_dynamic_loader_multi_action(fake_dynamic_h5, tmp_path):
+    import shutil
+
+    root, ref_ds = fake_dynamic_h5
+    multi = tmp_path / "multi"
+    os.makedirs(multi)
+    shutil.copy(os.path.join(root, "grasp_action.hdf5"),
+                multi / "action_a.hdf5")
+    shutil.copy(os.path.join(root, "grasp_action.hdf5"),
+                multi / "action_b.hdf5")
+    nb = ref_ds.bones_rest.num_bones
+    ds = BricsDynamicDataset(
+        root_dir=str(multi), width=W, height=H, split="train",
+        split_ratio=-1, n_bones=nb,
+    )
+    assert ds.num_frames == 6  # 3 frames x 2 actions
+    assert len(ds.actions) == 2
+    # frames from the second action are reachable
+    batch = ds.get_batch(5, np.asarray([0]))
+    assert batch["rgb"].shape == (1, H, W, 3)
+    assert len(ds.bones_posed) == 6

@@ -144,3 +144,30 @@ def test_saturation_early_termination_semantics():
     # T after 5x alpha=0.99: (0.01)^5 = 1e-10 < 1e-4 -> far gaussian excluded
     assert float(center_green(colors5)) < 1e-4
     assert float(jnp.abs(g[5]).max()) == 0.0
+
+
+def test_non_tile_aligned_resolution():
+    # image sizes that are not multiples of the 16px tile must render and
+    # differentiate correctly (grid padding + crop)
+    cam = make_test_camera(100, 76)
+    scene = random_scene(150, seed=13)
+    out_o = _render(scene, cam, "oracle")
+    out_x = _render(scene, cam, "xla")
+    assert out_x.render.shape == (76, 100, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_o.render), np.asarray(out_x.render), atol=2e-5
+    )
+
+    def loss(colors):
+        cfg = RasterConfig(backend="pallas", tg_max=128,
+                           max_pairs_per_tile=1024, chunk=32, pallas_chunk=64)
+        out = render_gaussians(
+            jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]),
+            jnp.asarray(scene["means"]), jnp.zeros((150, 16, 3)),
+            jnp.asarray(scene["opacity"]), cam, jnp.zeros(3),
+            colors_precomp=colors, config=cfg,
+        )
+        return jnp.sum(out.render)
+
+    g = jax.grad(loss)(jnp.asarray(scene["colors"]))
+    assert bool(jnp.all(jnp.isfinite(g)))
