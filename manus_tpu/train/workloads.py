@@ -101,12 +101,19 @@ def make_train_step(
     extent: float,
     articulated: bool,
     voxel_grid: Optional[VoxelGrid] = None,
+    mesh=None,
 ):
     """Build the jitted train step for one workload configuration.
 
     Batch layout (leading V = views per step):
       rgb [V,H,W,3], mask [V,H,W,1], cameras: stacked Camera [V],
       bg [3], and for the hand: bone_tf [B(+1),4,4], keypoints [K,3].
+
+    With `mesh` (a Mesh carrying a "data" axis), the gradient computation
+    runs under shard_map: each device unrolls only its local view shard
+    (the per-view render is deliberately unrolled, not vmapped — batched
+    binning lowers 2x slower) and gradients are psum-averaged over the
+    axis. Without a mesh the plain single-device step is returned.
     """
     opts = cfg.model
     raster_cfg = RasterConfig(
@@ -173,9 +180,44 @@ def make_train_step(
         skin_w = resolve_skin_weights(state.model, voxel_grid)
         m2d_zero = jnp.zeros((v, n, 2), jnp.float32)
 
-        (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+        if mesh is None:
+            (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def local_grads(params, m2d, active, sw, local_batch):
+                (l, a), (gp, gm) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, m2d, active, sw, local_batch)
+                # average loss and param grads over the data axis; per-view
+                # quantities stay sharded
+                l = jax.lax.pmean(l, "data")
+                gp = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), gp)
+                return (l, a), (gp, gm)
+
+            shard = P("data")
+            rep = P()
+            batch_specs = {
+                "rgb": shard, "mask": shard,
+                "cameras": jax.tree.map(lambda _: shard, batch["cameras"]),
+                "bg": rep,
+            }
+            if "bone_tf" in batch:
+                batch_specs["bone_tf"] = rep
+            if "keypoints" in batch:
+                batch_specs["keypoints"] = rep
+            aux_specs = dict(
+                radii=shard, renders=shard, parts=shard, posed_xyz=rep
+            )
+            (loss, aux), (g_params, g_m2d) = shard_map(
+                local_grads, mesh=mesh,
+                in_specs=(rep, shard, rep, rep, batch_specs),
+                out_specs=((rep, aux_specs), (rep, shard)),
+                check_vma=False,
+            )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
 
         lrs = optim_mod.group_learning_rates(opts, state.step)
         new_params, new_opt = optim_mod.adam_update(

@@ -82,3 +82,30 @@ def test_sharded_batch_placement(hand_setup):
     assert rgb_shard.num_devices == 8 if hasattr(rgb_shard, "num_devices") else True
     assert batch["rgb"].addressable_shards[0].data.shape[0] == 1  # 8/8
     assert batch["bone_tf"].addressable_shards[0].data.shape == batch["bone_tf"].shape
+
+
+def test_shard_map_step_matches_plain(hand_setup):
+    """The explicit shard_map DP path must reproduce the plain step."""
+    from manus_tpu.train.workloads import make_train_step
+
+    tr = hand_setup
+    batch = tr.sample_batch()
+    state1, metrics1 = tr.train_step(tr.state, batch)
+
+    mesh = make_mesh(n_data=8)
+    sharded_step = make_train_step(
+        tr.cfg, tr.dataset.extent, articulated=True, voxel_grid=None,
+        mesh=mesh,
+    )
+    with mesh:
+        state_r = replicate_state(tr.state, mesh)
+        batch_r = shard_batch(batch, mesh)
+        state8, metrics8 = sharded_step(state_r, batch_r)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-5
+    )
+    a = np.asarray(state1.model.params.opacity)
+    b = np.asarray(state8.model.params.opacity)
+    scale = np.abs(a).max() + 1e-8
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
