@@ -37,7 +37,11 @@ def save_checkpoint(ckpt_dir: str, state, step: int, loss: float,
         for k, v in extra.items():
             payload[f"__extra__/{k}"] = np.asarray(v)
     path = os.path.join(ckpt_dir, f"step{step:06d}-loss{loss:.6f}.npz")
-    np.savez_compressed(path, **payload)
+    # atomic write: a kill mid-save must not leave a corrupt "best" file
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **payload)
+    os.replace(tmp, path)
     return path
 
 

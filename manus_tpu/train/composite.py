@@ -49,12 +49,6 @@ class CompositeModels(NamedTuple):
     voxel_grid: Optional[VoxelGrid] = None
 
 
-def _concat_clouds(h, o):
-    """Concatenate per-gaussian arrays of the two models (padded tails and
-    all — the active masks ride along)."""
-    return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), h, o)
-
-
 def make_composite_render(cfg: ExperimentConfig, raster_cfg: RasterConfig,
                           mode: str, cmap_type: str = "magma",
                           alpha: float = 0.3,

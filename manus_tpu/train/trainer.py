@@ -69,8 +69,18 @@ class Trainer:
         self.ckpt_dir = os.path.join(self.out_dir, "checkpoints")
 
         self.state = init_train_state(model, seed=cfg.trainer.seed)
+        # data_axis > 1: explicit shard_map DP over the view batch
+        self.mesh = None
+        if cfg.trainer.data_axis > 1:
+            from manus_tpu.parallel.mesh import make_mesh, replicate_state
+
+            assert cfg.trainer.batch_views % cfg.trainer.data_axis == 0, (
+                "batch_views must divide evenly over data_axis"
+            )
+            self.mesh = make_mesh(n_data=cfg.trainer.data_axis)
+            self.state = replicate_state(self.state, self.mesh)
         self.train_step = make_train_step(
-            cfg, dataset.extent, articulated, voxel_grid
+            cfg, dataset.extent, articulated, voxel_grid, mesh=self.mesh
         )
         self.densify_step, self.opacity_reset = make_densify_step(
             cfg, dataset.extent
@@ -136,6 +146,10 @@ class Trainer:
 
         for step in range(max_steps):
             batch = next(loader)
+            if self.mesh is not None:
+                from manus_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, batch)
 
             densify_due = (
@@ -174,7 +188,9 @@ class Trainer:
                 log(
                     f"step {step}: loss={last_loss:.5f} "
                     f"psnr={float(metrics['psnr']):.2f} "
-                    f"active={int(metrics['num_active'])} it/s={ips:.1f}"
+                    f"active={int(metrics['num_active'])} it/s={ips:.1f} "
+                    f"maxrad={int(metrics['max_radius'])} "
+                    f"ovf={int(metrics['pair_overflow'])}"
                 )
             if (
                 cfg.trainer.val_every

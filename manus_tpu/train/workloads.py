@@ -144,7 +144,7 @@ def make_train_step(
                 out.render, rgb, scaling, active, loss_names, loss_weights,
                 opts.condition_number,
             )
-            return total, (out.radii, out.render, parts)
+            return total, (out.radii, out.render, parts, out.overflow)
 
         # Unrolled static loop over views, NOT vmap: batching the binning
         # sort/scatter de-optimises their XLA lowering (2x slower even at
@@ -164,9 +164,10 @@ def make_train_step(
         parts = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[o[1][2] for o in outs]
         )
+        overflow = jnp.stack([o[1][3] for o in outs])
         loss = jnp.mean(totals)
         return loss, dict(radii=radii, renders=renders, parts=parts,
-                          posed_xyz=posed_xyz)
+                          posed_xyz=posed_xyz, overflow=overflow)
 
     width, height = cfg.dataset.width, cfg.dataset.height
 
@@ -210,7 +211,8 @@ def make_train_step(
             if "keypoints" in batch:
                 batch_specs["keypoints"] = rep
             aux_specs = dict(
-                radii=shard, renders=shard, parts=shard, posed_xyz=rep
+                radii=shard, renders=shard, parts=shard, posed_xyz=rep,
+                overflow=shard,
             )
             (loss, aux), (g_params, g_m2d) = shard_map(
                 local_grads, mesh=mesh,
@@ -297,6 +299,8 @@ def make_train_step(
             psnr=psnr_val,
             num_active=jnp.sum(new_active),
             mask_pruned=jnp.sum(outside),
+            pair_overflow=jnp.max(aux["overflow"]),
+            max_radius=jnp.max(aux["radii"]),
         )
         for k, val in aux["parts"].items():
             metrics[f"loss/{k}"] = jnp.mean(val)
