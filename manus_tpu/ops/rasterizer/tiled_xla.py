@@ -10,6 +10,8 @@ for the Pallas kernel.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +19,7 @@ from manus_tpu.ops.rasterizer import payload as payload_mod
 from manus_tpu.ops.rasterizer.binning import TileBins
 from manus_tpu.ops.rasterizer.oracle import ALPHA_EPS, ALPHA_MAX, T_EPS
 
-LOG_T_EPS = float(jnp.log(T_EPS))
+LOG_T_EPS = math.log(T_EPS)  # host-side: no device work at import
 
 
 def _straight_through_min(x, cap):

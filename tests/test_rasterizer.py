@@ -171,3 +171,30 @@ def test_non_tile_aligned_resolution():
 
     g = jax.grad(loss)(jnp.asarray(scene["colors"]))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_pair_budget_truncation_counts_overflow():
+    # A tiny pair budget must truncate gracefully and report the drop.
+    cam = make_test_camera(64, 64)
+    scene = random_scene(300, seed=7)
+    cfg_full = RasterConfig(backend="xla", tg_max=128,
+                            max_pairs_per_tile=1024, chunk=32,
+                            pair_budget_factor=0)
+    cfg_tiny = RasterConfig(backend="xla", tg_max=128,
+                            max_pairs_per_tile=1024, chunk=32,
+                            pair_budget_factor=1)
+    common = (
+        jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]),
+        jnp.asarray(scene["means"]), jnp.zeros((300, 16, 3)),
+        jnp.asarray(scene["opacity"]), cam, jnp.zeros(3),
+    )
+    out_full = render_gaussians(*common, colors_precomp=jnp.asarray(scene["colors"]),
+                                config=cfg_full)
+    out_tiny = render_gaussians(*common, colors_precomp=jnp.asarray(scene["colors"]),
+                                config=cfg_tiny)
+    assert int(out_full.overflow) == 0
+    assert int(out_tiny.overflow) > 0
+    # truncated render still finite and correlated with the full one
+    a, b = np.asarray(out_full.render), np.asarray(out_tiny.render)
+    assert np.all(np.isfinite(b))
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.5
