@@ -1,0 +1,100 @@
+"""Camera-path IO, config overrides, and densification-signal tests."""
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manus_tpu.config import CONFIGS, apply_overrides
+from manus_tpu.models.densify import accumulate_stats, init_stats
+from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
+from manus_tpu.utils.io import dump_points, load_camera_path
+from tests.utils import make_test_camera, random_scene
+
+
+def test_camera_path_roundtrip(tmp_path):
+    # both Blender export forms: (fx, fy, cx, cy) tuples and 3x3 K
+    intrs = [(100.0, 110.0, 32.0, 24.0),
+             np.array([[90.0, 0, 31], [0, 95.0, 23], [0, 0, 1]])]
+    extrs = [np.hstack([np.eye(3), np.zeros((3, 1))]),
+             np.vstack([np.hstack([np.eye(3), np.ones((3, 1))]),
+                        [0, 0, 0, 1]])]
+    path = tmp_path / "path.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"intrs": intrs, "extrs": extrs}, f)
+    cams = load_camera_path(str(path), 64, 48)
+    assert len(cams) == 2
+    assert cams[0].width == 64 and cams[0].height == 48
+    np.testing.assert_allclose(float(cams[0].K[0, 0]), 100.0)
+    np.testing.assert_allclose(
+        np.asarray(cams[1].camera_center), [-1, -1, -1], atol=1e-6
+    )
+
+
+def test_ply_roundtrip(tmp_path):
+    from manus_tpu.data.brics import _load_ply_vertices
+
+    pts = np.random.RandomState(0).rand(50, 3).astype(np.float32)
+    cols = np.random.RandomState(1).rand(50, 3).astype(np.float32)
+    p = str(tmp_path / "pts.ply")
+    dump_points(pts, p, cols)
+    back = _load_ply_vertices(p)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_config_overrides_coercion():
+    cfg = CONFIGS["HAND_GAUSSIAN"]()
+    apply_overrides(cfg, [
+        "trainer.max_steps=123",
+        "model.densify_grad_threshold=0.5",
+        "loss.losses=[rgb_loss,ssim_loss]",
+        "loss.loss_weight=[0.5,0.5]",
+        "dataset.bg_color=white",
+        "model.densify=false",
+    ])
+    assert cfg.trainer.max_steps == 123
+    assert cfg.model.densify_grad_threshold == 0.5
+    assert cfg.loss.losses == ("rgb_loss", "ssim_loss")
+    assert cfg.loss.loss_weight == (0.5, 0.5)
+    assert cfg.dataset.bg_color == "white"
+    assert cfg.model.densify is False
+
+
+def test_viewspace_grad_signal_scaling():
+    """The densification stat must match the CUDA convention: pixel-space
+    means2d grads scaled by 0.5*[W, H] before the norm."""
+    cam = make_test_camera(64, 64)
+    scene = random_scene(50, seed=3)
+    n = 50
+    target = np.zeros((64, 64, 3), np.float32)
+
+    def loss(m2d):
+        out = render_gaussians(
+            jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]),
+            jnp.asarray(scene["means"]), jnp.zeros((n, 16, 3)),
+            jnp.asarray(scene["opacity"]), cam, jnp.zeros(3),
+            colors_precomp=jnp.asarray(scene["colors"]),
+            means2d_offset=m2d,
+            config=RasterConfig(backend="xla", tg_max=64,
+                                max_pairs_per_tile=512, chunk=32),
+        )
+        return jnp.sum((out.render - target) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((n, 2)))
+    out = render_gaussians(
+        jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]),
+        jnp.asarray(scene["means"]), jnp.zeros((n, 16, 3)),
+        jnp.asarray(scene["opacity"]), cam, jnp.zeros(3),
+        colors_precomp=jnp.asarray(scene["colors"]),
+        config=RasterConfig(backend="xla", tg_max=64,
+                            max_pairs_per_tile=512, chunk=32),
+    )
+    stats = accumulate_stats(init_stats(n), g, out.radii, 64, 64)
+    vis = np.asarray(out.visible)
+    expect = np.linalg.norm(np.asarray(g) * 32.0, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(stats.grad_accum)[vis], expect[vis], rtol=1e-5
+    )
+    # grads exist where gaussians are visible
+    assert np.asarray(stats.grad_accum)[vis].max() > 0
+    np.testing.assert_array_equal(np.asarray(stats.denom), vis.astype(np.float32))
