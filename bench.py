@@ -92,17 +92,20 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
 
 
 def time_iters(train_step, state, batch, warmup: int, iters: int):
-    import jax
-
+    # NOTE: force actual host readbacks around the timed region —
+    # block_until_ready does not reliably synchronize on the tunneled
+    # axon TPU platform, and async dispatch would otherwise make the
+    # loop measure enqueue time only. Steps are serially dependent
+    # (state feeds state), so one trailing readback fences all of them.
     for _ in range(warmup):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    loss = float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
-    assert np.isfinite(float(metrics["loss"])), "non-finite loss in bench"
+    assert np.isfinite(loss), "non-finite loss in bench"
     return iters / dt
 
 
