@@ -25,6 +25,46 @@ import time
 import numpy as np
 
 
+def build_object_workload(backend: str, capacity: int, width: int,
+                          height: int, views: int):
+    """Static object module at the same scale (BASELINE configs 1-2)."""
+    import jax.numpy as jnp
+
+    from manus_tpu.config import object_config
+    from manus_tpu.data.synthetic import hemisphere_cameras
+    from manus_tpu.models.gaussians import init_gaussian_model
+    from manus_tpu.train.workloads import init_train_state, make_train_step
+    from manus_tpu.utils.camera import index_camera, stack_cameras
+
+    rng = np.random.RandomState(0)
+    u = rng.normal(size=(capacity, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = (u * rng.uniform(0.3, 0.5, (capacity, 1))).astype(np.float32)
+    cols = rng.uniform(0, 1, (capacity, 3)).astype(np.float32)
+
+    cfg = object_config()
+    cfg.capacity = capacity
+    cfg.dataset.width, cfg.dataset.height = width, height
+    cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
+    cfg.raster = dataclasses.replace(
+        cfg.raster, backend=backend, tg_max=32, max_pairs_per_tile=4096,
+        chunk=64, pallas_chunk=128,
+    )
+    model = init_gaussian_model(pts, cols, capacity)
+    state = init_train_state(model)
+    train_step = make_train_step(cfg, extent=1.0, articulated=False)
+    cams = stack_cameras(
+        hemisphere_cameras(max(views, 4), width, height, dist=2.0)
+    )
+    batch = {
+        "rgb": jnp.zeros((views, height, width, 3), jnp.float32) + 0.25,
+        "mask": jnp.ones((views, height, width, 1), jnp.float32),
+        "cameras": index_camera(cams, np.arange(views)),
+        "bg": jnp.zeros(3, jnp.float32),
+    }
+    return train_step, state, batch
+
+
 def build_workload(backend: str, capacity: int, width: int, height: int,
                    views: int):
     import jax
@@ -133,6 +173,14 @@ def main():
     except Exception:
         xla_ips = float("nan")
 
+    try:
+        step_o, state_o, batch_o = build_object_workload(
+            "pallas" if on_tpu else "xla", capacity, width, height, views
+        )
+        obj_ips = time_iters(step_o, state_o, batch_o, warmup, iters)
+    except Exception:
+        obj_ips = float("nan")
+
     vs_baseline = pallas_ips / xla_ips if np.isfinite(xla_ips) else 1.0
     print(
         json.dumps(
@@ -145,6 +193,9 @@ def main():
                     "rays_per_s": round(pallas_ips * width * height * views),
                     "xla_fallback_iters_per_s": round(xla_ips, 3)
                     if np.isfinite(xla_ips)
+                    else None,
+                    "object_train_iters_per_s": round(obj_ips, 3)
+                    if np.isfinite(obj_ips)
                     else None,
                     "gaussians": capacity,
                     "resolution": [height, width],
