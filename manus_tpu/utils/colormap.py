@@ -22,9 +22,9 @@ def _lut(name: str) -> np.ndarray:
         g = np.linspace(0, 1, _LUT_SIZE)
         return np.stack([g, g, g], axis=1).astype(np.float32)
     try:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        cmap = cm.get_cmap(name, _LUT_SIZE)
+        cmap = matplotlib.colormaps[name].resampled(_LUT_SIZE)
         return cmap(np.linspace(0, 1, _LUT_SIZE))[:, :3].astype(np.float32)
     except Exception:
         # perceptually-reasonable two-ramp fallback

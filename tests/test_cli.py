@@ -1,0 +1,86 @@
+"""CLI end-to-end coverage: train -> composite -> render_path via main.main."""
+import os
+
+import numpy as np
+import pytest
+
+import main as main_mod
+
+cv2 = pytest.importorskip("cv2")
+
+COMMON = [
+    "dataset.width=64", "dataset.height=64", "dataset.num_cameras=3",
+    "capacity=1024", "raster.backend=xla", "raster.max_pairs_per_tile=512",
+    "model.remove_seg_end=0", "trainer.val_every=0",
+]
+
+
+@pytest.fixture(scope="module")
+def cli_out(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli"))
+    main_mod.main([
+        "--config-name", "OBJ_GAUSSIAN", *COMMON,
+        "trainer.max_steps=8", "trainer.checkpoint_every=5",
+        "dataset.sample_size=150", "trainer.exp_name=obj",
+        f"trainer.output_dir={out}",
+    ])
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "dataset.num_frames=2", "dataset.sample_size=20",
+        "dataset.grid_res=24", "trainer.max_steps=8",
+        "trainer.checkpoint_every=5", "trainer.exp_name=hand",
+        f"trainer.output_dir={out}",
+        "loss.losses=[rgb_loss,ssim_loss,isotropic_reg]",
+        "loss.loss_weight=[0.8,0.2,0.1]",
+    ])
+    return out
+
+
+def test_cli_training_artifacts(cli_out):
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    for exp in ("obj", "hand"):
+        assert os.path.exists(os.path.join(base, exp, "config.json"))
+        ckpts = os.listdir(os.path.join(base, exp, "checkpoints"))
+        assert any(c.endswith(".npz") for c in ckpts)
+        assert os.path.exists(
+            os.path.join(base, exp, "logs", "train_metrics.csv")
+        )
+
+
+def test_cli_composite(cli_out):
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    main_mod.main([
+        "--config-name", "COMPOSITE", *COMMON,
+        "dataset.num_frames=2", "trainer.exp_name=comp",
+        f"trainer.output_dir={cli_out}",
+        f"hand_ckpt_dir={base}/hand/checkpoints",
+        f"object_ckpt_dir={base}/obj/checkpoints",
+    ])
+    ours = os.path.join(base, "comp", "results", "eval_results", "ours")
+    assert os.path.exists(os.path.join(ours, "acc_contacts.npy"))
+    acc = np.load(os.path.join(ours, "acc_contacts.npy"))
+    assert np.all(np.isfinite(acc))
+    imgs = [f for f in os.listdir(ours) if f.endswith(".png")]
+    assert len(imgs) == 2
+
+
+def test_cli_render_path(cli_out, tmp_path):
+    # generate a small camera path (Blender pkl contract)
+    import pickle
+
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    intrs = [(80.0, 80.0, 32.0, 32.0)] * 3
+    extrs = [np.hstack([np.eye(3), np.asarray([[0.0], [0.0], [1.0]])])] * 3
+    path = str(tmp_path / "path.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"intrs": intrs, "extrs": extrs}, f)
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "trainer.mode=render_path", "render_frames=2",
+        "trainer.exp_name=novel", f"trainer.output_dir={cli_out}",
+        f"camera_path={path}",
+        f"render_ckpt_dir={base}/hand/checkpoints",
+    ])
+    assert os.path.exists(
+        os.path.join(base, "novel", "results", "novel_path.mp4")
+    )
