@@ -135,3 +135,39 @@ def test_prune_by_mask():
     m2, _, n = D.prune_by_mask(m, opt, mask)
     assert int(n) == 2
     assert int(m2.num_active()) == 6
+
+
+def test_adam_matches_torch_reference():
+    """Our masked Adam must match torch.optim.Adam(eps=1e-15) — the
+    reference optimizer semantics (gaussian.py:142) — on active slots."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    n = 16
+    p0 = rng.randn(n, 3).astype(np.float32)
+    grads_seq = [rng.randn(n, 3).astype(np.float32) for _ in range(5)]
+    lr = 0.01
+
+    # torch reference
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, eps=1e-15)
+    for g in grads_seq:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    # ours: drive only the xyz leaf with a matching LR
+    m = _small_model(n0=n, cap=n)
+    params = m.params._replace(xyz=jnp.asarray(p0))
+    opt = O.init_adam(params)
+    opts = GaussianOpts(spatial_lr_scale=1.0, position_lr_init=lr,
+                        position_lr_final=lr)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    for g in grads_seq:
+        grads = zeros._replace(xyz=jnp.asarray(g))
+        lrs = O.group_learning_rates(opts, 0)._replace(xyz=jnp.asarray(lr))
+        params, opt = O.adam_update(params, grads, opt, lrs, m.active)
+
+    np.testing.assert_allclose(
+        np.asarray(params.xyz), tp.detach().numpy(), atol=1e-6
+    )

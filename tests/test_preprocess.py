@@ -130,3 +130,32 @@ def test_update_bone_lengths():
     kp[:, 3, 1] = 1.0
     chain2 = update_bone_lengths(chain, kp)
     np.testing.assert_allclose(chain2.bone_lengths, [0.6, 0.2, 0.2], atol=1e-5)
+
+
+def test_full_pipeline_recovers_motion():
+    """2D projections of a moving chain -> triangulate -> IK -> smooth."""
+    from manus_tpu.preprocess.pipeline import run_pipeline
+
+    chain = _two_finger_chain()
+    P = _projection_setup(num_views=5)
+    f_total = 3
+    kp2d = np.zeros((f_total, 5, 4, 3), np.float32)
+    gt_kp3d = []
+    for f in range(f_total):
+        angles = np.zeros((4, 3), np.float32)
+        angles[3, 2] = -0.2 * f
+        kp, _, _ = chain_forward(chain, jnp.zeros(3), jnp.asarray(angles))
+        kp = np.asarray(kp)
+        gt_kp3d.append(kp)
+        homo = np.concatenate([kp, np.ones((4, 1))], axis=1)
+        proj = np.einsum("vab,jb->vja", P, homo)
+        xy = proj[..., :2] / proj[..., 2:]
+        kp2d[f, :, :, :2] = xy
+        kp2d[f, :, :, 2] = 1.0
+
+    out = run_pipeline(kp2d, P, chain, constraint=False, max_iter=250)
+    np.testing.assert_allclose(
+        out["keypoints3d"][:, :, :3], np.stack(gt_kp3d), atol=1e-3
+    )
+    assert out["ik_losses"].max() < 1e-4
+    assert out["angles_smooth"].shape == out["angles"].shape
