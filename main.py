@@ -284,6 +284,17 @@ def main(argv=None):
 
     np.random.seed(cfg.trainer.seed)
 
+    if cfg.trainer.debug_nans:
+        from manus_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
+    if cfg.trainer.mode == "debug":
+        # reference fast_dev_run (main.py:81-82): one-step smoke run
+        cfg.trainer.max_steps = 1
+        cfg.trainer.val_every = 0
+        cfg.trainer.checkpoint_every = 0
+        cfg.trainer.mode = "train"
+
     if cfg.trainer.mode == "render_path":
         run_render_path(cfg, out_dir)
     elif cfg.workload == "composite" or cfg.trainer.mode == "test":

@@ -28,6 +28,7 @@ class TrainerConfig:
     output_dir: str = "outputs"
     data_axis: int = 1  # data-parallel mesh size (1 = single chip)
     log_losses: bool = True
+    debug_nans: bool = False  # jax_debug_nans (reference anomaly detection)
 
 
 @dataclasses.dataclass
