@@ -245,12 +245,18 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
                 payload_ref.at[:, pl.ds(base, chunk)], buf, sem_in
             )
             dma_in.start()
-            # overlap: fetch current gradient chunk for the RMW while the
-            # payload chunk is in flight
+            # Only chunks containing a segment boundary are shared with a
+            # neighboring tile and need the read-modify-write; interior
+            # chunks are exclusively ours and write directly.
+            is_edge = (base < start_seg) | (base + chunk > end_seg)
             dma_rmw = pltpu.make_async_copy(
                 d_payload_ref.at[:, pl.ds(base, chunk)], rbuf, sem_rmw
             )
-            dma_rmw.start()
+
+            @pl.when(is_edge)
+            def _():
+                dma_rmw.start()
+
             dma_in.wait()
             chunk_vals = buf[:, :]
             gpos = (first + k) * chunk + lane
@@ -304,8 +310,12 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
             contrib = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad], axis=0
             )
-            dma_rmw.wait()
-            gbuf[:, :] = rbuf[:, :] + contrib
+            @pl.when(is_edge)
+            def _():
+                dma_rmw.wait()
+
+            prev = jnp.where(is_edge, rbuf[:, :], 0.0)
+            gbuf[:, :] = prev + contrib
             dma_out = pltpu.make_async_copy(
                 gbuf, d_payload_ref.at[:, pl.ds(base, chunk)], sem_out
             )
