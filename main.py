@@ -122,10 +122,10 @@ def run_composite(cfg, out_dir):
     import cv2
     import jax.numpy as jnp
 
-    from manus_tpu.ops.rasterizer.api import RasterConfig
+
     from manus_tpu.train import checkpoint as ckpt_mod
     from manus_tpu.train.composite import CompositeModels, make_composite_render
-    from manus_tpu.train.workloads import resolve_skin_weights
+    from manus_tpu.train.workloads import make_raster_config, resolve_skin_weights
     from manus_tpu.data.voxel import visualize_skin_weights
     from manus_tpu.ops.skinning import bone_deformation_transforms
     from manus_tpu.utils.camera import index_camera
@@ -144,12 +144,7 @@ def run_composite(cfg, out_dir):
     obj, _ = load_model(cfg.object_ckpt_dir)
     models = CompositeModels(hand=hand, obj=obj, voxel_grid=hand_vg)
 
-    raster_cfg = RasterConfig(
-        tg_max=cfg.raster.tg_max, chunk=cfg.raster.chunk,
-        pallas_chunk=cfg.raster.pallas_chunk,
-        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
-        backend=cfg.raster.backend,
-    )
+    raster_cfg = make_raster_config(cfg)
     mode = cfg.contact_render_type
     render_fn = make_composite_render(cfg, raster_cfg, mode)
 
@@ -203,12 +198,12 @@ def run_render_path(cfg, out_dir):
     from manus_tpu.models.gaussians import (
         get_covariance, get_features, get_opacity,
     )
-    from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
+    from manus_tpu.ops.rasterizer.api import render_gaussians
     from manus_tpu.ops.skinning import (
         bone_deformation_transforms, skin_gaussians,
     )
     from manus_tpu.train import checkpoint as ckpt_mod
-    from manus_tpu.train.workloads import resolve_skin_weights
+    from manus_tpu.train.workloads import make_raster_config, resolve_skin_weights
     from manus_tpu.utils.io import dump_video, load_camera_path
 
     path = ckpt_mod.find_best_checkpoint(cfg.render_ckpt_dir)
@@ -221,12 +216,7 @@ def run_render_path(cfg, out_dir):
         cfg.camera_path, cfg.dataset.width, cfg.dataset.height
     )
     skel = load_reference_skeleton() if cfg.workload == "hand" else None
-    raster_cfg = RasterConfig(
-        tg_max=cfg.raster.tg_max, chunk=cfg.raster.chunk,
-        pallas_chunk=cfg.raster.pallas_chunk,
-        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
-        backend=cfg.raster.backend,
-    )
+    raster_cfg = make_raster_config(cfg)
     import jax
 
     @jax.jit

@@ -62,6 +62,11 @@ class RasterOptions:
     pallas_chunk: int = 128
     max_pairs_per_tile: int = 4096
     backend: str = "auto"
+    lane_align: int = 128
+    # Aligned pair-buffer cap as a multiple of N (0 = off). Quality-critical:
+    # pairs beyond the budget are dropped farthest-first (see binning.py);
+    # tune per experiment via `raster.pair_budget_factor=...`.
+    pair_budget_factor: int = 8
 
 
 @dataclasses.dataclass

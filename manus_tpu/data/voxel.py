@@ -72,7 +72,10 @@ def build_voxel_grid(
     res_scaled = (res / np.array([x_r, y_r, z_r])).astype(np.int32)
     d, h, w = int(res_scaled[2]), int(res_scaled[1]), int(res_scaled[0])
     scale = np.linalg.norm(cano_max - cano_min) / 2
-    scale = np.array([scale * x_r, scale * y_r, scale * z_r], np.float32)
+    # Reference ordering (brics_dynamic.py:125-128): the xyz world scale is
+    # [z_r, y_r, x_r] — the x coordinate takes the *z* ratio. The same
+    # swapped convention is preserved in ops/contacts.get_nocs_grid.
+    scale = np.array([scale * z_r, scale * y_r, scale * x_r], np.float32)
 
     zs, ys, xs = np.meshgrid(
         np.linspace(-1, 1, d), np.linspace(-1, 1, h), np.linspace(-1, 1, w),

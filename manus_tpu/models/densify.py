@@ -132,8 +132,11 @@ def densify_and_prune(
     clone_dst, clone_ok = slot_at(clone_rank, clone_mask)
     s1_pos = n_clone + 2 * split_rank
     s2_pos = n_clone + 2 * split_rank + 1
-    split1_dst, split1_ok = slot_at(s1_pos, split_mask)
+    split1_dst, _ = slot_at(s1_pos, split_mask)
     split2_dst, split2_ok = slot_at(s2_pos, split_mask)
+    # A split only proceeds when BOTH children fit (s2_pos > s1_pos, so
+    # split2_ok implies split1_ok): never kill a parent for one child.
+    split1_ok = split2_ok
 
     # --- clone: verbatim copies (reference densify_and_clone).
     new_params = _scatter_rows_tree(params, params, clone_dst, clone_ok)
@@ -177,13 +180,15 @@ def densify_and_prune(
     prune = prune | (new_active & bad)
     new_active = new_active & ~prune
 
-    # --- optimizer surgery: new/changed/dead rows get zeroed moments.
-    touched = ~active | (new_active != active) | clone_mask | split_mask
-    # any freshly written row:
+    # --- optimizer surgery: only freshly written rows and rows whose
+    # activity flipped get zeroed moments. Surviving rows — including clone
+    # parents — keep their Adam state, matching the reference's
+    # cat_tensors_to_optimizer (gaussian.py:186-228), which zeroes moments
+    # only for appended rows.
     written = jnp.zeros((cap,), bool)
     for dst, ok in ((clone_dst, clone_ok), (split1_dst, split1_ok), (split2_dst, split2_ok)):
         written = written.at[jnp.where(ok, dst, cap)].set(True, mode="drop")
-    new_opt = reset_moments_rows(opt_state, touched | written)
+    new_opt = reset_moments_rows(opt_state, (new_active != active) | written)
 
     info = dict(
         clones=jnp.sum(clone_ok),

@@ -37,7 +37,7 @@ class RasterConfig(NamedTuple):
     tg_max: int = 64  # max tiles per gaussian in binning
     chunk: int = 64  # pairs per compositing chunk (xla backend)
     pallas_chunk: int = 128  # pairs per chunk DMA (pallas backend)
-    max_pairs_per_tile: int = 4096  # static cap (xla backend only)
+    max_pairs_per_tile: int = 4096  # per-tile pair cap (both tiled backends)
     backend: str = "auto"
     lane_align: int = 128
     pair_budget_factor: int = 8  # aligned pair buffer cap, x N (0 = off)
@@ -157,6 +157,7 @@ def render_gaussians(
         bins = bin_gaussians(
             proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
             pair_budget_factor=config.pair_budget_factor,
+            max_pairs_per_tile=config.max_pairs_per_tile,
         )
         pay = payload_mod.build_payload(proj, colors, opacity, bins)
         if backend == "pallas":

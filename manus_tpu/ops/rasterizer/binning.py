@@ -60,6 +60,7 @@ def bin_gaussians(
     tg_max: int,
     lane_align: int = 128,
     pair_budget_factor: int = 8,
+    max_pairs_per_tile: int = 0,
 ) -> TileBins:
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
@@ -113,6 +114,15 @@ def bin_gaussians(
     overflow = overflow + jnp.sum((bounds[1:] - bounds[:-1]) - counts).astype(
         jnp.int32
     )
+    if max_pairs_per_tile > 0:
+        # Per-tile cap: truncate back-to-front (segments are depth-ordered,
+        # farthest pairs drop first) and COUNT the truncation, so the xla
+        # backend's static loop bound and the pallas backend composite the
+        # same clamped segments and the overflow diagnostic sees it.
+        overflow = overflow + jnp.sum(
+            jnp.maximum(counts - max_pairs_per_tile, 0)
+        ).astype(jnp.int32)
+        counts = jnp.minimum(counts, max_pairs_per_tile)
 
     total_valid = jnp.minimum(bounds[num_tiles], p_budget)
     take = min(p_budget, n * tg_max)

@@ -96,6 +96,20 @@ def forward_gaussians(
     return sk.posed_xyz, sk.posed_cov, sk.tf
 
 
+def make_raster_config(cfg: ExperimentConfig) -> RasterConfig:
+    """Forward every RasterOptions knob (incl. the quality-critical
+    pair_budget_factor / lane_align) so CLI overrides actually apply."""
+    return RasterConfig(
+        tg_max=cfg.raster.tg_max,
+        chunk=cfg.raster.chunk,
+        pallas_chunk=cfg.raster.pallas_chunk,
+        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
+        backend=cfg.raster.backend,
+        lane_align=cfg.raster.lane_align,
+        pair_budget_factor=cfg.raster.pair_budget_factor,
+    )
+
+
 def make_train_step(
     cfg: ExperimentConfig,
     extent: float,
@@ -116,13 +130,7 @@ def make_train_step(
     axis. Without a mesh the plain single-device step is returned.
     """
     opts = cfg.model
-    raster_cfg = RasterConfig(
-        tg_max=cfg.raster.tg_max,
-        chunk=cfg.raster.chunk,
-        pallas_chunk=cfg.raster.pallas_chunk,
-        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
-        backend=cfg.raster.backend,
-    )
+    raster_cfg = make_raster_config(cfg)
     loss_names = tuple(cfg.loss.losses)
     loss_weights = tuple(cfg.loss.loss_weight)
 
@@ -185,6 +193,12 @@ def make_train_step(
             (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+            # Rescale to per-view-loss gradients: loss_fn averages over V,
+            # so d(mean)/dm2d[i] = (1/V) dL_i/dm2d. The reference accumulates
+            # d(L_i)/dmeans2D from per-view backwards (base.py accum_iter),
+            # so densify thresholds only transfer if stats are invariant to
+            # batch_views (and to the data axis under shard_map).
+            g_m2d = g_m2d * v
         else:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -197,6 +211,10 @@ def make_train_step(
                 # quantities stay sharded
                 l = jax.lax.pmean(l, "data")
                 gp = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), gp)
+                # per-view-loss viewspace grads (see single-device branch):
+                # loss_fn averaged over the LOCAL shard, so undo with the
+                # local view count — stats become mesh-shape invariant.
+                gm = gm * local_batch["rgb"].shape[0]
                 return (l, a), (gp, gm)
 
             shard = P("data")
@@ -345,13 +363,7 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
                    voxel_grid: Optional[VoxelGrid] = None):
     """Jitted single-view render + metrics for validation loops."""
     opts = cfg.model
-    raster_cfg = RasterConfig(
-        tg_max=cfg.raster.tg_max,
-        chunk=cfg.raster.chunk,
-        pallas_chunk=cfg.raster.pallas_chunk,
-        max_pairs_per_tile=cfg.raster.max_pairs_per_tile,
-        backend=cfg.raster.backend,
-    )
+    raster_cfg = make_raster_config(cfg)
 
     @jax.jit
     def eval_step(model: GaussianModel, cam: Camera, rgb, mask, bg, bone_tf):
