@@ -99,6 +99,21 @@ def run_train(cfg, out_dir):
     from manus_tpu.train.trainer import Trainer
 
     dataset = build_dataset(cfg, "train")
+    # Held-out validation split (reference: static cameras [:2] never train;
+    # dynamic: the frame-split tail). Synthetic datasets are split in-memory.
+    if cfg.dataset.kind == "synthetic":
+        if cfg.workload == "object":
+            from manus_tpu.data.synthetic import split_synthetic_static
+
+            dataset, val_dataset = split_synthetic_static(dataset)
+        else:
+            from manus_tpu.data.synthetic import split_synthetic_dynamic
+
+            dataset, val_dataset = split_synthetic_dynamic(
+                dataset, cfg.dataset.split_ratio
+            )
+    else:
+        val_dataset = build_dataset(cfg, "val")
     if cfg.workload == "object":
         pts, cols = dataset.sample_gaussians(cfg.dataset.sample_size)
         model = init_gaussian_model(pts, cols, cfg.capacity, opts=cfg.model)
@@ -108,7 +123,8 @@ def run_train(cfg, out_dir):
         model, voxel_grid = build_hand_pieces(cfg, dataset)
         articulated = True
 
-    tr = Trainer(cfg, dataset, model, articulated, voxel_grid, out_dir=out_dir)
+    tr = Trainer(cfg, dataset, model, articulated, voxel_grid,
+                 out_dir=out_dir, val_dataset=val_dataset)
     if cfg.checkpoint:
         path, n_bad = tr.load(cfg.checkpoint)
         print(f"resumed from {path} (scrubbed {n_bad} NaN slots)")

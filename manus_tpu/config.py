@@ -53,6 +53,10 @@ class DatasetConfig:
 class LossConfig:
     losses: Tuple[str, ...] = ("rgb_loss", "ssim_loss", "isotropic_reg")
     loss_weight: Tuple[float, ...] = (0.8, 0.2, 0.1)
+    # LPIPS weights npz (scripts/convert_lpips_weights.py). Empty + fallback
+    # on -> seeded random-feature VGG16 (see train/lpips.py docstring).
+    lpips_weights: str = ""
+    lpips_fallback: bool = True
 
 
 @dataclasses.dataclass

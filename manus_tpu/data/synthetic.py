@@ -405,3 +405,49 @@ def build_synthetic_dynamic(
         width=width,
         height=height,
     )
+
+
+def _slice_cameras(cams: Camera, idx: np.ndarray) -> Camera:
+    from manus_tpu.utils.camera import index_camera
+
+    return index_camera(cams, jnp.asarray(idx))
+
+
+def split_synthetic_static(ds: SyntheticStaticDataset, n_val: int = 2):
+    """Held-out camera split, reference semantics (brics_static.py:61-66):
+    first `n_val` cameras validate, the rest train. Returns (train, val)."""
+    n_val = min(n_val, ds.num_views - 1)  # always keep >=1 train camera
+    tr_idx = np.arange(n_val, ds.num_views)
+    va_idx = np.arange(n_val)
+
+    def take(idx):
+        return dataclasses.replace(
+            ds,
+            cameras=_slice_cameras(ds.cameras, idx),
+            images=ds.images[idx],
+            masks=ds.masks[idx],
+        )
+
+    return take(tr_idx), take(va_idx)
+
+
+def split_synthetic_dynamic(ds: SyntheticDynamicDataset, split_ratio: float = 0.1):
+    """Held-out FRAME split for dynamic scenes (reference brics_dynamic
+    splits its flat index list by split_ratio): the head frames train, the
+    tail frames validate. split_ratio is the VAL fraction — same semantics
+    as data/brics.py:245 (train fraction = 1 - split_ratio).
+    Returns (train, val)."""
+    n_train = max(
+        1,
+        min(ds.num_frames - 1, int(round((1.0 - split_ratio) * ds.num_frames))),
+    )
+
+    def take(sl):
+        return dataclasses.replace(
+            ds,
+            images=ds.images[sl],
+            masks=ds.masks[sl],
+            bones_posed=ds.bones_posed[sl],
+        )
+
+    return take(slice(0, n_train)), take(slice(n_train, ds.num_frames))

@@ -7,9 +7,14 @@ ReLU stages, unit-normalised along channels, squared differences reduced
 by learned 1x1 linear heads, spatially averaged and summed over stages.
 
 Pretrained weights cannot ship in this offline environment; load them from
-an .npz via `load_lpips_params` (keys: conv{i}_{j}_w/b, lin{k}_w). Without
-weights the loss is disabled (the trainer keeps its weight at zero), which
-matches the reference's behavior before start_lpips_iter.
+an .npz via `load_lpips_params` (keys: conv{i}_{j}_w/b, lin{k}_w) produced
+by scripts/convert_lpips_weights.py wherever torchvision+lpips exist. When
+no weights file is configured, `resolve_lpips_params` falls back to a
+DETERMINISTIC random-feature VGG (seeded He init): random convolutional
+features are a known-serviceable perceptual distance (they still measure
+multi-scale structural disagreement), so the lpips_loss term trains and the
+val metric is nonzero — but values are NOT comparable with published LPIPS
+numbers until real weights are supplied. The fallback logs a loud warning.
 """
 from __future__ import annotations
 
@@ -76,9 +81,34 @@ def load_lpips_params(path: str) -> Optional[dict]:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+def resolve_lpips_params(
+    weights_path: str,
+    allow_fallback: bool = True,
+    seed: int = 0,
+    log=print,
+) -> Optional[dict]:
+    """Trainer entry point: pretrained npz if available, else the seeded
+    random-feature fallback (see module docstring), else None (disabled)."""
+    params = load_lpips_params(weights_path)
+    if params is not None:
+        log(f"[lpips] loaded pretrained VGG16 weights from {weights_path}")
+        return params
+    if allow_fallback:
+        log(
+            "[lpips] WARNING: no pretrained weights "
+            f"({weights_path or 'loss.lpips_weights unset'}); using seeded "
+            "random-feature VGG16. The loss is live but values are not "
+            "comparable with published LPIPS — convert real weights via "
+            "scripts/convert_lpips_weights.py."
+        )
+        return random_lpips_params(seed)
+    log("[lpips] disabled: no weights and fallback off — lpips_loss is 0")
+    return None
+
+
 def random_lpips_params(seed: int = 0) -> dict:
-    """He-init random weights — for shape tests only, NOT a perceptual
-    metric. Real use requires converted pretrained weights."""
+    """Seeded He-init VGG16 — the random-feature perceptual fallback used
+    by resolve_lpips_params when pretrained weights are unavailable."""
     rng = np.random.RandomState(seed)
     params = {}
     c_in = 3

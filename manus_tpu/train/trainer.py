@@ -56,9 +56,16 @@ class Trainer:
         articulated: bool,
         voxel_grid: Optional[VoxelGrid] = None,
         out_dir: Optional[str] = None,
+        val_dataset=None,
     ):
         self.cfg = cfg
         self.dataset = dataset
+        # Held-out validation data (reference: cameras [:2] for static,
+        # the frame-split tail for dynamic). When absent, validate() falls
+        # back to TRAIN views and says so — reported numbers are then train
+        # PSNR, not val PSNR.
+        self.val_dataset = val_dataset
+        self._warned_train_val = False
         self.articulated = articulated
         self.voxel_grid = voxel_grid
         self.out_dir = out_dir or os.path.join(
@@ -79,13 +86,27 @@ class Trainer:
             )
             self.mesh = make_mesh(n_data=cfg.trainer.data_axis)
             self.state = replicate_state(self.state, self.mesh)
+        # LPIPS: resolved once when the loss is configured (or a weights
+        # file is given); the same params feed the training loss (after
+        # start_lpips_iter) and the val metric. See train/lpips.py.
+        self.lpips_params = None
+        if "lpips_loss" in cfg.loss.losses or cfg.loss.lpips_weights:
+            from manus_tpu.train.lpips import resolve_lpips_params
+
+            self.lpips_params = resolve_lpips_params(
+                cfg.loss.lpips_weights, cfg.loss.lpips_fallback,
+                seed=cfg.trainer.seed,
+            )
         self.train_step = make_train_step(
-            cfg, dataset.extent, articulated, voxel_grid, mesh=self.mesh
+            cfg, dataset.extent, articulated, voxel_grid, mesh=self.mesh,
+            lpips_params=self.lpips_params,
         )
         self.densify_step, self.opacity_reset = make_densify_step(
             cfg, dataset.extent
         )
-        self.eval_step = make_eval_step(cfg, articulated, voxel_grid)
+        self.eval_step = make_eval_step(
+            cfg, articulated, voxel_grid, lpips_params=self.lpips_params
+        )
         self.val_csv = MetricsCSV(
             os.path.join(self.out_dir, "results", "val_results.csv"),
             ["name", "step", "psnr", "ssim", "lpips", "rendering_time"],
@@ -119,10 +140,10 @@ class Trainer:
             batch["keypoints"] = jnp.asarray(ds.bones_posed[f].keypoints())
         return batch
 
-    def _bone_tf(self, frame: int):
+    def _bone_tf(self, frame: int, ds=None):
         from manus_tpu.ops.skinning import bone_deformation_transforms
 
-        ds = self.dataset
+        ds = ds if ds is not None else self.dataset
         return bone_deformation_transforms(
             ds.bones_posed[frame].transforms,
             ds.bones_rest.transforms,
@@ -209,32 +230,96 @@ class Trainer:
         return self.state
 
     # ---- validation -----------------------------------------------------
-    def validate(self, step: int, num_views: int = 2, log=print):
-        ds = self.dataset
-        psnrs, ssims, times = [], [], []
-        for vi in range(min(num_views, ds.num_views)):
-            raw = ds.get_batch(0, np.asarray([vi]))
+    def _val_items(self, ds, num_views: int):
+        """(frame, view) pairs for one validation epoch: all (capped) val
+        views; dynamic scenes additionally sweep evenly-spaced held-out
+        frames so motion is validated, not just frame 0."""
+        views = range(min(num_views, ds.num_views)) if num_views else range(
+            ds.num_views
+        )
+        if not self.articulated:
+            return [(0, v) for v in views]
+        n_frames = min(getattr(ds, "num_frames", 1), 4)
+        frames = np.unique(
+            np.linspace(0, ds.num_frames - 1, n_frames).astype(int)
+        )
+        return [(int(f), v) for f in frames for v in views]
+
+    def validate(self, step: int, num_views: int = 2, log=print,
+                 dump_artifacts: bool = True):
+        ds = self.val_dataset
+        if ds is None:
+            ds = self.dataset
+            if not self._warned_train_val:
+                log(
+                    "[val] WARNING: no held-out val dataset — validating on "
+                    "TRAIN views (numbers are train PSNR)"
+                )
+                self._warned_train_val = True
+        from manus_tpu.utils.io import concat_images, dump_image
+
+        val_dir = os.path.join(self.out_dir, "results", "val_results")
+        psnrs, ssims, lpipss, times = [], [], [], []
+        for idx, (f, vi) in enumerate(self._val_items(ds, num_views)):
+            raw = ds.get_batch(f, np.asarray([vi]))
             rgb = jnp.asarray(raw["rgb"][0], jnp.float32)
             mask = jnp.asarray(raw["mask"][0], jnp.float32)
-            extra = dict(bone_tf=self._bone_tf(0)) if self.articulated else {}
+            extra = (
+                dict(bone_tf=self._bone_tf(f, ds)) if self.articulated else {}
+            )
             cam = index_camera(ds.cameras, vi)
             t0 = time.time()
             out = self.eval_step(
                 self.state.model, cam, rgb, mask, jnp.asarray(self.bg), **extra
             )
-            jax.block_until_ready(out["render"])
+            # real host readback: block_until_ready is unreliable on the
+            # tunneled platform (see CLAUDE.md), np.asarray is not
+            pred = np.asarray(out["render"])
             times.append(time.time() - t0)
             psnrs.append(float(out["psnr"]))
             ssims.append(float(out["ssim"]))
+            lpipss.append(float(out["lpips"]))
+            if dump_artifacts:
+                # pred | gt | diff strip (reference base.py:112-131)
+                gt = np.asarray(raw["rgb"][0], np.float32)
+                diff = np.abs(gt - np.clip(pred, 0, 1))
+                dump_image(
+                    concat_images(np.clip(pred, 0, 1), gt, diff),
+                    os.path.join(val_dir, "images", f"{step}_{idx}.png"),
+                )
+                if idx == 0:
+                    self._dump_gaussians(out, val_dir, step)
         self.val_csv.write(
             [self.cfg.trainer.exp_name, step, np.mean(psnrs), np.mean(ssims),
-             0.0, np.mean(times)]
+             np.mean(lpipss), np.mean(times)]
         )
         log(
             f"[val] step {step}: psnr={np.mean(psnrs):.2f} "
-            f"ssim={np.mean(ssims):.4f} t={np.mean(times)*1e3:.1f}ms"
+            f"ssim={np.mean(ssims):.4f} lpips={np.mean(lpipss):.4f} "
+            f"t={np.mean(times)*1e3:.1f}ms"
         )
         return np.mean(psnrs)
+
+    def _dump_gaussians(self, out, results_dir: str, step: int):
+        """Posed + canonical PLYs of active gaussians, skin-weight colored
+        when skinned (reference dump_gaussians, base.py:271-290)."""
+        from manus_tpu.utils.io import dump_points
+
+        active = np.asarray(self.state.model.active)
+        colors = None
+        if self.articulated:
+            from manus_tpu.data.voxel import visualize_skin_weights
+            from manus_tpu.train.workloads import resolve_skin_weights
+
+            sw = resolve_skin_weights(self.state.model, self.voxel_grid)
+            if sw is not None:
+                colors = visualize_skin_weights(np.asarray(sw))[active]
+        gdir = os.path.join(results_dir, "gaussians")
+        posed = np.asarray(out["posed_xyz"])[active]
+        cano = np.asarray(self.state.model.params.xyz)[active]
+        dump_points(posed, os.path.join(gdir, f"{step}_0_posed.ply"), colors)
+        if self.articulated:
+            dump_points(cano, os.path.join(gdir, f"{step}_0_cano.ply"), colors)
 
     # ---- checkpointing --------------------------------------------------
     def save(self, step: int, loss: float):

@@ -116,6 +116,7 @@ def make_train_step(
     articulated: bool,
     voxel_grid: Optional[VoxelGrid] = None,
     mesh=None,
+    lpips_params: Optional[dict] = None,
 ):
     """Build the jitted train step for one workload configuration.
 
@@ -134,7 +135,10 @@ def make_train_step(
     loss_names = tuple(cfg.loss.losses)
     loss_weights = tuple(cfg.loss.loss_weight)
 
-    def loss_fn(params, m2d_off, active, skin_w, batch):
+    def loss_fn(params, m2d_off, active, skin_w, batch, step):
+        # start_lpips_iter gate (reference base.py:333-341); traced so the
+        # same compiled step serves the whole run.
+        lpips_on = step >= opts.start_lpips_iter
         posed_xyz, posed_cov, tf = forward_gaussians(
             params, active, skin_w, batch.get("bone_tf"), opts
         )
@@ -151,6 +155,7 @@ def make_train_step(
             total, parts = loss_mod.compute_losses(
                 out.render, rgb, scaling, active, loss_names, loss_weights,
                 opts.condition_number,
+                lpips_params=lpips_params, lpips_enabled=lpips_on,
             )
             return total, (out.radii, out.render, parts, out.overflow)
 
@@ -192,7 +197,8 @@ def make_train_step(
         if mesh is None:
             (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
-            )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+            )(state.model.params, m2d_zero, state.model.active, skin_w, batch,
+              state.step)
             # Rescale to per-view-loss gradients: loss_fn averages over V,
             # so d(mean)/dm2d[i] = (1/V) dL_i/dm2d. The reference accumulates
             # d(L_i)/dmeans2D from per-view backwards (base.py accum_iter),
@@ -203,10 +209,10 @@ def make_train_step(
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def local_grads(params, m2d, active, sw, local_batch):
+            def local_grads(params, m2d, active, sw, local_batch, step):
                 (l, a), (gp, gm) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
-                )(params, m2d, active, sw, local_batch)
+                )(params, m2d, active, sw, local_batch, step)
                 # average loss and param grads over the data axis; per-view
                 # quantities stay sharded
                 l = jax.lax.pmean(l, "data")
@@ -234,10 +240,11 @@ def make_train_step(
             )
             (loss, aux), (g_params, g_m2d) = shard_map(
                 local_grads, mesh=mesh,
-                in_specs=(rep, shard, rep, rep, batch_specs),
+                in_specs=(rep, shard, rep, rep, batch_specs, rep),
                 out_specs=((rep, aux_specs), (rep, shard)),
                 check_vma=False,
-            )(state.model.params, m2d_zero, state.model.active, skin_w, batch)
+            )(state.model.params, m2d_zero, state.model.active, skin_w, batch,
+              state.step)
 
         lrs = optim_mod.group_learning_rates(opts, state.step)
         new_params, new_opt = optim_mod.adam_update(
@@ -360,8 +367,12 @@ def make_densify_step(cfg: ExperimentConfig, extent: float):
 
 
 def make_eval_step(cfg: ExperimentConfig, articulated: bool,
-                   voxel_grid: Optional[VoxelGrid] = None):
-    """Jitted single-view render + metrics for validation loops."""
+                   voxel_grid: Optional[VoxelGrid] = None,
+                   lpips_params: Optional[dict] = None):
+    """Jitted single-view render + metrics for validation loops.
+
+    lpips_params: when provided, a real LPIPS metric is reported at every
+    validation (reference base.py:149 computes it unconditionally)."""
     opts = cfg.model
     raster_cfg = make_raster_config(cfg)
 
@@ -378,11 +389,20 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
         )
         render = out.render * mask
         gt = rgb * mask
-        return dict(
+        metrics = dict(
             render=out.render,
             psnr=loss_mod.psnr(render, gt),
             ssim=loss_mod.ssim(render, gt),
         )
+        if lpips_params is not None:
+            from manus_tpu.train.lpips import lpips_distance
+
+            metrics["lpips"] = lpips_distance(lpips_params, render, gt)
+        else:
+            metrics["lpips"] = jnp.asarray(0.0)
+        # posed positions for the validation PLY dumps (base.py:271-290)
+        metrics["posed_xyz"] = jax.lax.stop_gradient(posed_xyz)
+        return metrics
 
     if articulated:
         return eval_step

@@ -120,10 +120,15 @@ def compute_losses(
     loss_names: tuple,
     loss_weights: tuple,
     condition_number: float = 0.4,
+    lpips_params: dict | None = None,
+    lpips_enabled: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
-    """Weighted multi-loss as in reference base.py:323-365 (minus LPIPS).
+    """Weighted multi-loss as in reference base.py:323-365.
 
     Returns (total, per_loss_dict). loss_names/weights are static tuples.
+    lpips_params: VGG16 weight pytree (train/lpips.py); lpips_enabled is a
+    traced bool implementing the reference's start_lpips_iter gate
+    (base.py:333-341) — lax.cond skips the VGG forward before the gate.
     """
     losses = {}
     for name in loss_names:
@@ -136,9 +141,22 @@ def compute_losses(
         elif name == "isotropic_reg":
             losses[name] = isotropic_regularizer(scaling, condition_number, active)
         elif name == "lpips_loss":
-            # LPIPS needs pretrained VGG weights; plugged in by the trainer
-            # when available (see train/lpips.py). Zero contribution here.
-            losses[name] = jnp.asarray(0.0, pred_image.dtype)
+            if lpips_params is None:
+                # No weights resolved (trainer warned): zero contribution.
+                losses[name] = jnp.asarray(0.0, pred_image.dtype)
+            else:
+                from manus_tpu.train.lpips import lpips_distance
+
+                def _lpips(_):
+                    return lpips_distance(lpips_params, pred_image, gt_image)
+
+                if lpips_enabled is None:
+                    losses[name] = _lpips(None)
+                else:
+                    losses[name] = jax.lax.cond(
+                        lpips_enabled, _lpips,
+                        lambda _: jnp.asarray(0.0, jnp.float32), None,
+                    )
         else:
             raise ValueError(f"unknown loss {name}")
     total = jnp.asarray(0.0, pred_image.dtype)

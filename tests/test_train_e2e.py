@@ -153,3 +153,122 @@ def test_checkpoint_roundtrip(tmp_path, static_ds):
     np.testing.assert_array_equal(
         np.asarray(tr.state.model.params.xyz), xyz_before
     )
+
+
+def test_lpips_wired_into_training(tmp_path, static_ds):
+    """VERDICT r1 item 2: lpips_loss must actually contribute (random-feature
+    fallback when no pretrained npz) and the val CSV must report nonzero
+    LPIPS. Reference: base.py:333-341, loss_utils.py:111-117."""
+    import csv
+    import os
+
+    def make_trainer(with_lpips, out):
+        cfg = object_config()
+        cfg.capacity = 512
+        cfg.dataset.width = cfg.dataset.height = 64
+        cfg.trainer.max_steps = 3
+        cfg.trainer.val_every = 0
+        cfg.trainer.checkpoint_every = 0
+        cfg.model = dataclasses.replace(
+            cfg.model, remove_seg_end=0, start_lpips_iter=0
+        )
+        if with_lpips:
+            cfg.loss = dataclasses.replace(
+                cfg.loss,
+                losses=("rgb_loss", "lpips_loss"),
+                loss_weight=(0.8, 0.1),
+            )
+        else:
+            cfg.loss = dataclasses.replace(
+                cfg.loss, losses=("rgb_loss",), loss_weight=(0.8,)
+            )
+        cfg.raster = dataclasses.replace(
+            cfg.raster, backend="xla", tg_max=64, max_pairs_per_tile=256,
+            chunk=32,
+        )
+        pts, cols = static_ds.sample_gaussians(100)
+        model = init_gaussian_model(pts, cols, cfg.capacity)
+        return Trainer(cfg, static_ds, model, articulated=False, out_dir=out)
+
+    tr_lp = make_trainer(True, str(tmp_path / "lp"))
+    tr_no = make_trainer(False, str(tmp_path / "no"))
+    assert tr_lp.lpips_params is not None  # fallback resolved
+    batch = tr_lp.sample_batch()
+    _, m_lp = tr_lp.train_step(tr_lp.state, batch)
+    _, m_no = tr_no.train_step(tr_no.state, batch)
+    lp_val = float(m_lp["loss/lpips_loss"])
+    assert lp_val > 0.0, "lpips term is still a no-op"
+    assert abs(float(m_lp["loss"]) - float(m_no["loss"])) > 1e-6
+
+    # start_lpips_iter gate: before the gate the term is exactly zero
+    tr_gate = make_trainer(True, str(tmp_path / "gate"))
+    tr_gate.cfg.model = dataclasses.replace(
+        tr_gate.cfg.model, start_lpips_iter=1000
+    )
+    from manus_tpu.train.workloads import make_train_step
+
+    gated_step = make_train_step(
+        tr_gate.cfg, static_ds.extent, False,
+        lpips_params=tr_gate.lpips_params,
+    )
+    _, m_gate = gated_step(tr_gate.state, batch)
+    assert float(m_gate["loss/lpips_loss"]) == 0.0
+
+    # val CSV carries the real metric
+    tr_lp.validate(0, log=lambda *a: None)
+    with open(os.path.join(str(tmp_path / "lp"), "results",
+                           "val_results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[-1]["lpips"]) > 0.0
+
+
+def test_heldout_validation_and_artifacts(tmp_path):
+    """VERDICT r1 item 3: validation renders cameras the trainer never saw
+    and dumps pred|gt|diff strips + gaussian PLYs (base.py:112-188,271-290)."""
+    import os
+
+    from manus_tpu.data.synthetic import (
+        build_synthetic_static,
+        split_synthetic_static,
+    )
+
+    full = build_synthetic_static(
+        width=64, height=64, num_cameras=8, n_gaussians=120, seed=3
+    )
+    train_ds, val_ds = split_synthetic_static(full)
+    assert train_ds.num_views == 6 and val_ds.num_views == 2
+    # the val cameras are genuinely disjoint from the train cameras
+    tc = np.asarray(train_ds.cameras.camera_center)
+    vc = np.asarray(val_ds.cameras.camera_center)
+    assert np.min(np.linalg.norm(tc[:, None] - vc[None], axis=-1)) > 1e-4
+
+    cfg = object_config()
+    cfg.capacity = 512
+    cfg.dataset.width = cfg.dataset.height = 64
+    cfg.trainer.max_steps = 150
+    cfg.trainer.val_every = 0
+    cfg.trainer.checkpoint_every = 0
+    cfg.model = dataclasses.replace(
+        cfg.model, remove_seg_end=0, densify_grad_threshold=1e9
+    )
+    cfg.raster = dataclasses.replace(
+        cfg.raster, backend="xla", tg_max=64, max_pairs_per_tile=256, chunk=32
+    )
+    pts, cols = train_ds.sample_gaussians(120)
+    model = init_gaussian_model(pts, cols, cfg.capacity)
+    tr = Trainer(cfg, train_ds, model, articulated=False,
+                 out_dir=str(tmp_path), val_dataset=val_ds)
+    psnr0 = tr.validate(0, log=lambda *a: None)
+    tr.fit(log=lambda *a: None)
+    psnr1 = tr.validate(1, log=lambda *a: None)
+    assert psnr1 > psnr0, f"held-out psnr {psnr0} -> {psnr1}"
+
+    img_dir = os.path.join(str(tmp_path), "results", "val_results", "images")
+    imgs = sorted(os.listdir(img_dir))
+    assert imgs, "no val images dumped"
+    import cv2
+
+    strip = cv2.imread(os.path.join(img_dir, imgs[0]))
+    assert strip.shape == (64, 64 * 3, 3)  # pred | gt | diff
+    gdir = os.path.join(str(tmp_path), "results", "val_results", "gaussians")
+    assert any(f.endswith("_posed.ply") for f in os.listdir(gdir))
