@@ -109,7 +109,8 @@ class Trainer:
         )
         self.val_csv = MetricsCSV(
             os.path.join(self.out_dir, "results", "val_results.csv"),
-            ["name", "step", "psnr", "ssim", "lpips", "rendering_time"],
+            ["name", "step", "psnr", "ssim", "lpips", "rendering_time",
+             "pair_overflow"],
         )
         self.train_csv = MetricsCSV(
             os.path.join(self.out_dir, "logs", "train_metrics.csv"),
@@ -259,7 +260,7 @@ class Trainer:
         from manus_tpu.utils.io import concat_images, dump_image
 
         val_dir = os.path.join(self.out_dir, "results", "val_results")
-        psnrs, ssims, lpipss, times = [], [], [], []
+        psnrs, ssims, lpipss, times, ovfs = [], [], [], [], []
         for idx, (f, vi) in enumerate(self._val_items(ds, num_views)):
             raw = ds.get_batch(f, np.asarray([vi]))
             rgb = jnp.asarray(raw["rgb"][0], jnp.float32)
@@ -279,6 +280,7 @@ class Trainer:
             psnrs.append(float(out["psnr"]))
             ssims.append(float(out["ssim"]))
             lpipss.append(float(out["lpips"]))
+            ovfs.append(int(out["pair_overflow"]))
             if dump_artifacts:
                 # pred | gt | diff strip (reference base.py:112-131)
                 gt = np.asarray(raw["rgb"][0], np.float32)
@@ -291,12 +293,12 @@ class Trainer:
                     self._dump_gaussians(out, val_dir, step)
         self.val_csv.write(
             [self.cfg.trainer.exp_name, step, np.mean(psnrs), np.mean(ssims),
-             np.mean(lpipss), np.mean(times)]
+             np.mean(lpipss), np.mean(times), int(np.max(ovfs))]
         )
         log(
             f"[val] step {step}: psnr={np.mean(psnrs):.2f} "
             f"ssim={np.mean(ssims):.4f} lpips={np.mean(lpipss):.4f} "
-            f"t={np.mean(times)*1e3:.1f}ms"
+            f"t={np.mean(times)*1e3:.1f}ms ovf={int(np.max(ovfs))}"
         )
         return np.mean(psnrs)
 

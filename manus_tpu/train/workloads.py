@@ -402,6 +402,9 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
             metrics["lpips"] = jnp.asarray(0.0)
         # posed positions for the validation PLY dumps (base.py:271-290)
         metrics["posed_xyz"] = jax.lax.stop_gradient(posed_xyz)
+        # pair-budget overflow diagnostic: surfaced in val_results.csv so
+        # raster.pair_budget_factor tuning is a config change, not a probe
+        metrics["pair_overflow"] = out.overflow
         return metrics
 
     if articulated:
