@@ -195,6 +195,13 @@ class Trainer:
                         f" splits={int(info['splits'])} pruned={int(info['pruned'])}"
                         f" dropped={int(info['alloc_dropped'])}"
                     )
+                    # statistical outlier prune, fired once at the densify
+                    # event matching remove_outliers_step (reference
+                    # gaussian_utils.py:484 + gaussian.py:323-326; pymeshlab
+                    # LoOP -> ops/outliers.py)
+                    if step == opts.remove_outliers_step:
+                        self.state, n_out = self._remove_outliers()
+                        log(f"[outliers] step {step}: removed {n_out}")
             if reset_due and step != 0:
                 self.state = self.opacity_reset(self.state)
 
@@ -229,6 +236,19 @@ class Trainer:
         loader.close()
         self.save(max_steps, last_loss)
         return self.state
+
+    def _remove_outliers(self):
+        """One-shot statistical outlier prune (reference pymeshlab path,
+        gaussian.py:323-326: prob=0.8 on canonical xyz). LoOP estimator on
+        the MXU kNN — see ops/outliers.py."""
+        from manus_tpu.models.densify import prune_by_mask
+        from manus_tpu.ops.outliers import outlier_mask
+
+        model = self.state.model
+        mask = outlier_mask(model.params.xyz, model.active, prob=0.8)
+        new_model, new_opt, n = prune_by_mask(model, self.state.opt, mask)
+        state = self.state._replace(model=new_model, opt=new_opt)
+        return state, int(n)
 
     # ---- validation -----------------------------------------------------
     def _val_items(self, ds, num_views: int):

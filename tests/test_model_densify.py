@@ -171,3 +171,31 @@ def test_adam_matches_torch_reference():
     np.testing.assert_allclose(
         np.asarray(params.xyz), tp.detach().numpy(), atol=1e-6
     )
+
+
+def test_statistical_outlier_removal():
+    """VERDICT r1 item 5: LoOP outlier prune at remove_outliers_step
+    (reference gaussian.py:323-326 / gaussian_utils.py:557-568). Isolated
+    floaters are removed; the dense cluster survives."""
+    from manus_tpu.ops.outliers import outlier_mask
+
+    rng = np.random.RandomState(0)
+    cluster = rng.normal(0, 0.05, (200, 3)).astype(np.float32)
+    floaters = np.array(
+        [[5.0, 5.0, 5.0], [-6.0, 2.0, 4.0], [0.0, -8.0, 1.0]], np.float32
+    )
+    pts = np.concatenate([cluster, floaters])
+    cols = rng.uniform(0, 1, (len(pts), 3)).astype(np.float32)
+    m = init_gaussian_model(jnp.asarray(pts), jnp.asarray(cols), 256)
+
+    mask = outlier_mask(m.params.xyz, m.active, prob=0.8, k=16)
+    mask = np.asarray(mask)
+    assert mask[200:203].all(), "floaters not flagged"
+    assert mask[:200].sum() <= 4, f"over-pruned cluster: {mask[:200].sum()}"
+    # inactive padding never flagged
+    assert not mask[203:].any()
+
+    opt = O.init_adam(m.params)
+    m2, _, n = D.prune_by_mask(m, opt, jnp.asarray(mask))
+    assert int(n) == mask.sum()
+    assert int(m2.num_active()) == 203 - int(mask.sum())
