@@ -158,9 +158,51 @@ def run_composite(cfg, out_dir):
 
     hand, hand_vg = load_model(cfg.hand_ckpt_dir)
     obj, _ = load_model(cfg.object_ckpt_dir)
-    models = CompositeModels(hand=hand, obj=obj, voxel_grid=hand_vg)
 
     raster_cfg = make_raster_config(cfg)
+
+    # optional composite fine-tuning (reference composite.py:27-35):
+    # unfreeze one model and continue photometric optimization on the
+    # full composite render before contact capture.
+    if cfg.optimize_hand or cfg.optimize_object:
+        from manus_tpu.train.composite import make_composite_finetune_step
+        from manus_tpu.train.workloads import init_train_state
+
+        optimize = "hand" if cfg.optimize_hand else "object"
+        train_model = hand if optimize == "hand" else obj
+        frozen = obj if optimize == "hand" else hand
+        state = init_train_state(train_model, seed=cfg.trainer.seed)
+        ft_step = make_composite_finetune_step(
+            cfg, raster_cfg, optimize, voxel_grid=hand_vg
+        )
+        rng = np.random.RandomState(cfg.trainer.seed)
+        for it in range(cfg.finetune_steps):
+            f = rng.randint(dataset.num_frames)
+            v = rng.randint(dataset.num_views)
+            raw = dataset.get_batch(f, np.asarray([v]))
+            batch = dict(
+                rgb=jnp.asarray(raw["rgb"][0], jnp.float32),
+                mask=jnp.asarray(raw["mask"][0], jnp.float32),
+                camera=index_camera(dataset.cameras, v),
+                bg=jnp.zeros(3),
+                bone_tf=bone_deformation_transforms(
+                    dataset.bones_posed[f].transforms,
+                    dataset.bones_rest.transforms,
+                    append_identity=hand_vg is not None,
+                ),
+            )
+            state, m = ft_step(state, frozen, batch)
+            if it % 50 == 0 or it == cfg.finetune_steps - 1:
+                print(
+                    f"[finetune:{optimize}] step {it}: "
+                    f"loss={float(m['loss']):.5f} psnr={float(m['psnr']):.2f}"
+                )
+        if optimize == "hand":
+            hand = state.model
+        else:
+            obj = state.model
+
+    models = CompositeModels(hand=hand, obj=obj, voxel_grid=hand_vg)
     mode = cfg.contact_render_type
     render_fn = make_composite_render(cfg, raster_cfg, mode)
 

@@ -88,6 +88,12 @@ class ExperimentConfig:
     hand_ckpt_dir: str = ""
     object_ckpt_dir: str = ""
     contact_render_type: str = "results"
+    # Composite fine-tuning (reference composite.py:27-35): unfreeze one of
+    # the two loaded models and continue photometric optimization on the
+    # composite render before contact capture.
+    optimize_hand: bool = False
+    optimize_object: bool = False
+    finetune_steps: int = 500
     checkpoint: Optional[str] = None
     # novel-view rendering (trainer.mode=render_path)
     camera_path: str = "/root/reference/data/camera_paths/real.pkl"

@@ -29,6 +29,7 @@ from manus_tpu.models.gaussians import (
     get_covariance,
     get_features,
     get_opacity,
+    get_scaling,
 )
 from manus_tpu.ops import contacts as contacts_mod
 from manus_tpu.ops.rasterizer.api import (
@@ -174,3 +175,95 @@ def make_composite_render(cfg: ExperimentConfig, raster_cfg: RasterConfig,
         return render, new_acc, h_d01
 
     return composite_render
+
+
+def make_composite_finetune_step(
+    cfg: ExperimentConfig,
+    raster_cfg: RasterConfig,
+    optimize: str,  # "hand" | "object"
+    voxel_grid: Optional[VoxelGrid] = None,
+    hand_opts: GaussianOpts = GaussianOpts(),
+    obj_opts: GaussianOpts = GaussianOpts(),
+):
+    """Composite fine-tuning step (reference composite.py:27-35 + the
+    manual-optimization loop): one of the two loaded models is unfrozen
+    and continues photometric optimization on the FULL composite render;
+    the other stays a frozen pytree.
+
+    Returns a jitted (state, frozen_model, batch) -> (state, metrics)
+    where `state` is a workloads.TrainState holding the trainable model
+    and its masked-Adam state, and `frozen_model` is the other cloud.
+    batch: rgb [H,W,3], mask [H,W,1], camera (single), bg [3],
+    bone_tf [B(+1),4,4].
+    """
+    from manus_tpu.train import optim as optim_mod
+    from manus_tpu.utils import losses as loss_mod
+
+    assert optimize in ("hand", "object")
+    opts = cfg.model
+    loss_names = tuple(n for n in cfg.loss.losses if n != "lpips_loss")
+    loss_weights = tuple(
+        w for n, w in zip(cfg.loss.losses, cfg.loss.loss_weight)
+        if n != "lpips_loss"
+    )
+
+    @jax.jit
+    def step(state, frozen: GaussianModel, batch):
+        def loss_fn(params):
+            train_model = state.model._replace(params=params)
+            hand = train_model if optimize == "hand" else frozen
+            obj = frozen if optimize == "hand" else train_model
+            skin_w = resolve_skin_weights(hand, voxel_grid)
+            h_xyz, h_cov, h_tf = forward_gaussians(
+                hand.params, hand.active, skin_w, batch["bone_tf"], hand_opts
+            )
+            o_xyz, o_cov, _ = forward_gaussians(
+                obj.params, obj.active, None, None, obj_opts
+            )
+            o_tf = jnp.broadcast_to(
+                jnp.eye(4, dtype=h_tf.dtype), (o_xyz.shape[0], 4, 4)
+            )
+            hp, op_ = hand.params, obj.params
+            out = render_gaussians(
+                jnp.concatenate([h_xyz, o_xyz]),
+                jnp.concatenate([h_cov, o_cov]),
+                jnp.concatenate([hp.xyz, op_.xyz]),
+                jnp.concatenate([get_features(hp), get_features(op_)]),
+                jnp.concatenate([get_opacity(hp)[:, 0], get_opacity(op_)[:, 0]]),
+                batch["camera"], batch["bg"],
+                sh_degree=3,
+                tf=jnp.concatenate([h_tf, o_tf]),
+                active=jnp.concatenate([hand.active, obj.active]),
+                config=raster_cfg,
+            )
+            scaling = get_scaling(
+                params,
+                hand_opts.isotropic_scaling if optimize == "hand"
+                else obj_opts.isotropic_scaling,
+            )
+            total, parts = loss_mod.compute_losses(
+                out.render, batch["rgb"], scaling, train_model.active,
+                loss_names, loss_weights, opts.condition_number,
+            )
+            return total, (out.render, parts)
+
+        (loss, (render, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.model.params)
+        lrs = optim_mod.group_learning_rates(opts, state.step)
+        new_params, new_opt = optim_mod.adam_update(
+            state.model.params, grads, state.opt, lrs, state.model.active
+        )
+        metrics = dict(
+            loss=loss,
+            psnr=loss_mod.psnr(render * batch["mask"],
+                               batch["rgb"] * batch["mask"]),
+        )
+        new_state = state._replace(
+            model=state.model._replace(params=new_params),
+            opt=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

@@ -84,3 +84,20 @@ def test_cli_render_path(cli_out, tmp_path):
     assert os.path.exists(
         os.path.join(base, "novel", "results", "novel_path.mp4")
     )
+
+
+def test_cli_composite_finetune(cli_out):
+    """Composite fine-tuning surface (reference composite.py:27-35):
+    optimize_hand=true runs the photometric fine-tune phase before
+    contact capture and still produces the eval artifacts."""
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    main_mod.main([
+        "--config-name", "COMPOSITE", *COMMON,
+        "dataset.num_frames=2", "trainer.exp_name=compft",
+        "optimize_hand=true", "finetune_steps=6",
+        f"trainer.output_dir={cli_out}",
+        f"hand_ckpt_dir={base}/hand/checkpoints",
+        f"object_ckpt_dir={base}/obj/checkpoints",
+    ])
+    ours = os.path.join(base, "compft", "results", "eval_results", "ours")
+    assert os.path.exists(os.path.join(ours, "acc_contacts.npy"))

@@ -97,3 +97,80 @@ def test_composite_render_results_mode(tmp_path):
         models, bone_tf, cam, cam, jnp.zeros(3), new_acc, aux_colors
     )
     assert float(jnp.sum(acc2)) >= float(jnp.sum(new_acc))
+
+
+def test_composite_finetune_recovers_perturbation():
+    """VERDICT r1 item 4 (reference composite.py:27-48): optimize_hand
+    unfreezes the hand model inside the composite step; photometric loss
+    on a held-out frame falls after fine-tuning. GT is rendered from the
+    unperturbed models, then the hand is perturbed and fine-tuned back."""
+    from manus_tpu.config import composite_config
+    from manus_tpu.train.composite import make_composite_finetune_step
+    from manus_tpu.train.workloads import init_train_state
+
+    ds = build_synthetic_dynamic(
+        width=64, height=64, num_cameras=3, num_frames=3,
+        samples_per_bone_gt=15, seed=0, use_reference_skeleton=False,
+    )
+    hand_gt = init_gaussian_model(
+        ds.gt["means"], ds.gt["colors"], 512, skin_weights=ds.gt["skin"]
+    )
+    obj_gt = gt_object_gaussians(80, seed=3)
+    obj = init_gaussian_model(obj_gt["means"] * 0.1, obj_gt["colors"], 128)
+
+    cfg = composite_config()
+    cfg.finetune_steps = 60
+    raster_cfg = RasterConfig(backend="xla", tg_max=64,
+                              max_pairs_per_tile=512, chunk=32)
+    ft_step = make_composite_finetune_step(cfg, raster_cfg, "hand")
+
+    def make_batch(f, v, rgb=None):
+        return dict(
+            rgb=jnp.zeros((64, 64, 3)) if rgb is None else rgb,
+            mask=jnp.ones((64, 64, 1)),
+            camera=index_camera(ds.cameras, v),
+            bg=jnp.zeros(3),
+            bone_tf=bone_deformation_transforms(
+                ds.bones_posed[f].transforms, ds.bones_rest.transforms
+            ),
+        )
+
+    # pseudo-GT: render the composite scene with unperturbed models
+    gts = {}
+    from manus_tpu.train.composite import CompositeModels, make_composite_render
+
+    render_fn = make_composite_render(cfg, raster_cfg, "results")
+    aux = jnp.zeros((hand_gt.capacity, 3))
+    acc = jnp.zeros(hand_gt.capacity)
+    for f in range(3):
+        for v in range(3):
+            r, _, _ = render_fn(
+                CompositeModels(hand=hand_gt, obj=obj),
+                make_batch(f, v)["bone_tf"], index_camera(ds.cameras, v),
+                index_camera(ds.cameras, v), jnp.zeros(3), acc, aux,
+            )
+            gts[(f, v)] = r[:, :64]  # rgb panel only
+
+    # perturb hand positions + colors
+    rng = np.random.RandomState(1)
+    pert = hand_gt.params._replace(
+        xyz=hand_gt.params.xyz
+        + jnp.asarray(rng.normal(0, 0.01, (512, 3)), jnp.float32),
+    )
+    hand_pert = hand_gt._replace(params=pert)
+    state = init_train_state(hand_pert)
+
+    def heldout_loss(model):
+        losses = []
+        for v in range(3):
+            b = make_batch(2, v, rgb=gts[(2, v)])
+            _, m = ft_step(init_train_state(model), obj, b)
+            losses.append(float(m["loss"]))
+        return np.mean(losses)
+
+    before = heldout_loss(hand_pert)
+    for it in range(cfg.finetune_steps):
+        f, v = rng.randint(2), rng.randint(3)  # train on frames 0-1 only
+        state, m = ft_step(state, obj, make_batch(f, v, rgb=gts[(f, v)]))
+    after = heldout_loss(state.model)
+    assert after < before * 0.7, f"held-out loss {before} -> {after}"
