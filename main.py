@@ -323,6 +323,22 @@ def main(argv=None):
     cfg = CONFIGS[args.config_name]()
     apply_overrides(cfg, args.overrides)
 
+    if cfg.trainer.distributed:
+        # multi-host bring-up BEFORE any device use (SURVEY §5.8)
+        from manus_tpu.parallel.distributed import initialize_distributed
+
+        active = initialize_distributed(
+            cfg.trainer.coordinator, cfg.trainer.num_processes,
+            cfg.trainer.process_id,
+        )
+        import jax
+
+        print(
+            f"[distributed] active={active} process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()}/{jax.device_count()} devices local"
+        )
+
     out_dir = os.path.join(
         cfg.trainer.output_dir, cfg.trainer.project,
         cfg.dataset.subject or "synthetic", cfg.trainer.exp_name,

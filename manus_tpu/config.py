@@ -27,6 +27,13 @@ class TrainerConfig:
     batch_views: int = 1  # views per step (= reference accum_iter)
     output_dir: str = "outputs"
     data_axis: int = 1  # data-parallel mesh size (1 = single chip)
+    gauss_axis: int = 1  # gaussian-dim mesh size (projection/LBS sharding)
+    # multi-host (parallel/distributed.py): jax.distributed bring-up + a
+    # DCN-aware mesh (data axis across hosts, gauss axis inside a host)
+    distributed: bool = False
+    coordinator: str = ""  # coordinator_address; "" = auto-detect
+    num_processes: int = -1  # -1 = auto
+    process_id: int = -1  # -1 = auto
     log_losses: bool = True
     debug_nans: bool = False  # jax_debug_nans (reference anomaly detection)
 

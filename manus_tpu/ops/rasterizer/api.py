@@ -125,8 +125,19 @@ def render_gaussians(
     active: Optional[jax.Array] = None,
     means2d_offset: Optional[jax.Array] = None,
     config: RasterConfig = RasterConfig(),
+    gauss_axis: Optional[str] = None,
 ) -> RenderOutput:
-    """Differentiable 3D Gaussian splat render. See module docstring."""
+    """Differentiable 3D Gaussian splat render. See module docstring.
+
+    gauss_axis: name of a shard_map mesh axis the GAUSSIAN dimension is
+    sharded over (SURVEY §5.7 tensor-parallel analogue). The N-heavy
+    per-gaussian stages (SH eval + EWA projection, and upstream LBS) run
+    on the local shard; the small projected fields are then all_gathered
+    over the axis so binning + tile compositing see the full cloud.
+    Shard order is the global slot order (tiled gather concatenates
+    shards in axis order), so depth-sort tie-breaking matches the
+    unsharded run exactly. Outputs (render, radii, visible) are full-N.
+    """
     n = posed_means.shape[0]
     opacity = cano_opacity.reshape(n)
     if colors_precomp is None:
@@ -137,6 +148,11 @@ def render_gaussians(
         colors = colors_precomp
 
     proj = project_gaussians(posed_means, posed_cov, camera, active=active)
+    if gauss_axis is not None:
+        gather = lambda x: jax.lax.all_gather(x, gauss_axis, tiled=True)
+        proj = jax.tree.map(gather, proj)
+        colors = gather(colors)
+        opacity = gather(opacity)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
 

@@ -76,15 +76,25 @@ class Trainer:
         self.ckpt_dir = os.path.join(self.out_dir, "checkpoints")
 
         self.state = init_train_state(model, seed=cfg.trainer.seed)
-        # data_axis > 1: explicit shard_map DP over the view batch
+        # data_axis > 1: explicit shard_map DP over the view batch;
+        # gauss_axis > 1 additionally shards LBS/SH/projection over the
+        # gaussian dimension (tensor-parallel analogue, SURVEY §5.7)
         self.mesh = None
-        if cfg.trainer.data_axis > 1:
-            from manus_tpu.parallel.mesh import make_mesh, replicate_state
+        if cfg.trainer.data_axis > 1 or cfg.trainer.gauss_axis > 1:
+            from manus_tpu.parallel.distributed import make_multihost_mesh
+            from manus_tpu.parallel.mesh import replicate_state
 
             assert cfg.trainer.batch_views % cfg.trainer.data_axis == 0, (
                 "batch_views must divide evenly over data_axis"
             )
-            self.mesh = make_mesh(n_data=cfg.trainer.data_axis)
+            assert cfg.capacity % cfg.trainer.gauss_axis == 0, (
+                "capacity must divide evenly over gauss_axis"
+            )
+            # single-process: plain mesh; multi-process: DCN-aware hybrid
+            self.mesh = make_multihost_mesh(
+                n_data=cfg.trainer.data_axis,
+                n_gauss=cfg.trainer.gauss_axis,
+            )
             self.state = replicate_state(self.state, self.mesh)
         # LPIPS: resolved once when the loss is configured (or a weights
         # file is given); the same params feed the training loss (after

@@ -135,7 +135,8 @@ def make_train_step(
     loss_names = tuple(cfg.loss.losses)
     loss_weights = tuple(cfg.loss.loss_weight)
 
-    def loss_fn(params, m2d_off, active, skin_w, batch, step):
+    def loss_fn(params, m2d_off, active, skin_w, batch, step,
+                gauss_axis=None):
         # start_lpips_iter gate (reference base.py:333-341); traced so the
         # same compiled step serves the whole run.
         lpips_on = step >= opts.start_lpips_iter
@@ -145,16 +146,26 @@ def make_train_step(
         feats = get_features(params)
         opac = get_opacity(params)
         scaling = get_scaling(params, opts.isotropic_scaling)
+        # Under gauss-axis sharding the N-heavy stages above ran on the
+        # local shard; loss terms that reduce over gaussians (isotropy)
+        # need the full cloud so every mesh column computes the identical
+        # loss replica (render_gaussians gathers its own fields).
+        if gauss_axis is not None:
+            scaling_full = jax.lax.all_gather(scaling, gauss_axis, tiled=True)
+            active_full = jax.lax.all_gather(active, gauss_axis, tiled=True)
+        else:
+            scaling_full, active_full = scaling, active
 
         def render_view(cam, rgb, m2d_v):
             out = render_gaussians(
                 posed_xyz, posed_cov, params.xyz, feats, opac, cam,
                 batch["bg"], sh_degree=opts.sh_degree, tf=tf, active=active,
                 means2d_offset=m2d_v, config=raster_cfg,
+                gauss_axis=gauss_axis,
             )
             total, parts = loss_mod.compute_losses(
-                out.render, rgb, scaling, active, loss_names, loss_weights,
-                opts.condition_number,
+                out.render, rgb, scaling_full, active_full, loss_names,
+                loss_weights, opts.condition_number,
                 lpips_params=lpips_params, lpips_enabled=lpips_on,
             )
             return total, (out.radii, out.render, parts, out.overflow)
@@ -209,22 +220,39 @@ def make_train_step(
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
+            from manus_tpu.parallel.mesh import GAUSS_AXIS
+
+            n_gauss = int(mesh.shape.get(GAUSS_AXIS, 1))
+            g_axis = GAUSS_AXIS if n_gauss > 1 else None
+
             def local_grads(params, m2d, active, sw, local_batch, step):
                 (l, a), (gp, gm) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
-                )(params, m2d, active, sw, local_batch, step)
+                )(params, m2d, active, sw, local_batch, step, g_axis)
                 # average loss and param grads over the data axis; per-view
                 # quantities stay sharded
                 l = jax.lax.pmean(l, "data")
                 gp = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), gp)
+                if g_axis is not None:
+                    # every gauss column computes the identical loss replica
+                    # from the gathered fields, so the all_gather transpose
+                    # (psum_scatter over "gauss") sums n_gauss identical
+                    # cotangents into each param shard — rescale back.
+                    gp = jax.tree.map(lambda g: g / n_gauss, gp)
                 # per-view-loss viewspace grads (see single-device branch):
                 # loss_fn averaged over the LOCAL shard, so undo with the
                 # local view count — stats become mesh-shape invariant.
+                # (m2d enters POST-gather at full N: no gauss rescale.)
                 gm = gm * local_batch["rgb"].shape[0]
                 return (l, a), (gp, gm)
 
             shard = P("data")
             rep = P()
+            # N-leading model leaves shard over the gauss axis (projection/
+            # LBS/SH tensor parallelism, SURVEY §5.7); replicated when the
+            # mesh has no gauss extent.
+            gshard = P(GAUSS_AXIS) if g_axis is not None else rep
+            gspec = lambda tree: jax.tree.map(lambda _: gshard, tree)
             batch_specs = {
                 "rgb": shard, "mask": shard,
                 "cameras": jax.tree.map(lambda _: shard, batch["cameras"]),
@@ -235,13 +263,15 @@ def make_train_step(
             if "keypoints" in batch:
                 batch_specs["keypoints"] = rep
             aux_specs = dict(
-                radii=shard, renders=shard, parts=shard, posed_xyz=rep,
+                radii=shard, renders=shard, parts=shard, posed_xyz=gshard,
                 overflow=shard,
             )
             (loss, aux), (g_params, g_m2d) = shard_map(
                 local_grads, mesh=mesh,
-                in_specs=(rep, shard, rep, rep, batch_specs, rep),
-                out_specs=((rep, aux_specs), (rep, shard)),
+                in_specs=(gspec(state.model.params), shard, gshard,
+                          gspec(skin_w), batch_specs, rep),
+                out_specs=((rep, aux_specs), (gspec(state.model.params),
+                                              shard)),
                 check_vma=False,
             )(state.model.params, m2d_zero, state.model.active, skin_w, batch,
               state.step)

@@ -109,3 +109,59 @@ def test_shard_map_step_matches_plain(hand_setup):
     b = np.asarray(state8.model.params.opacity)
     scale = np.abs(a).max() + 1e-8
     np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_shard_map_data_x_gauss_matches_plain(hand_setup):
+    """VERDICT r1 item 8: (data=4, gauss=2) — LBS/SH/projection sharded
+    over the gaussian axis with an all_gather into binning — must match
+    the single-device step (loss, param update, densify stats grads)."""
+    from manus_tpu.train.workloads import make_train_step
+
+    tr = hand_setup
+    batch = tr.sample_batch()
+    state1, metrics1 = tr.train_step(tr.state, batch)
+
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    sharded_step = make_train_step(
+        tr.cfg, tr.dataset.extent, articulated=True, voxel_grid=None,
+        mesh=mesh,
+    )
+    with mesh:
+        state_r = replicate_state(tr.state, mesh)
+        batch_r = shard_batch(batch, mesh)
+        state42, metrics42 = sharded_step(state_r, batch_r)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics42["loss"]), rtol=1e-5
+    )
+    for name in ("opacity", "xyz", "scaling"):
+        a = np.asarray(getattr(state1.model.params, name))
+        b = np.asarray(getattr(state42.model.params, name))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=f"param mismatch: {name}")
+    # densification stats (fed by the viewspace m2d grads) must also be
+    # mesh-shape invariant
+    np.testing.assert_allclose(
+        np.asarray(state1.stats.grad_accum), np.asarray(state42.stats.grad_accum),
+        atol=1e-5,
+    )
+
+
+def test_multihost_scaffolding_single_process():
+    """VERDICT r1 item 7: the multi-host path exists and is exercisable
+    at process_count=1 — initialize is a no-op, the mesh builder returns
+    the (data, gauss) mesh, and host-local batch indices cover the full
+    view range exactly once across the (single) host."""
+    from manus_tpu.parallel.distributed import (
+        initialize_distributed,
+        make_multihost_mesh,
+        process_local_batch_indices,
+    )
+
+    assert initialize_distributed() is False  # single-process: not active
+    mesh = make_multihost_mesh(n_data=4, n_gauss=2)
+    assert mesh.axis_names == ("data", "gauss")
+    assert mesh.devices.shape == (4, 2)
+    idx = process_local_batch_indices(8, mesh)
+    np.testing.assert_array_equal(idx, np.arange(8))
