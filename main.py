@@ -245,11 +245,15 @@ def run_composite(cfg, out_dir):
     print(f"composite: wrote {len(frames)} frames to {out_imgs}")
 
 
-def run_render_path(cfg, out_dir):
+def run_render_path(cfg, out_dir, video_name="novel_path.mp4",
+                    canonical=False):
     """Novel-view rendering along a Blender camera path (reference
     TestDataset camera-path mode, brics_static.py:200-258 /
     brics_dynamic.py:485-696): load a trained model, sweep the pkl path
-    cameras, animate the hand with reference skeleton poses if present."""
+    cameras, animate the hand with reference skeleton poses if present.
+
+    canonical=True renders every frame at the REST pose (reference
+    test_on_canonical_pose, brics_dynamic.py:608-611)."""
     import jax.numpy as jnp
 
     from manus_tpu.data.synthetic import load_reference_skeleton
@@ -300,16 +304,140 @@ def run_render_path(cfg, out_dir):
     for i in range(n):
         bone_tf = None
         if skel is not None:
-            fidx = i % skel["pose_transforms"].shape[0]
+            # canonical mode: rest pose for every frame (identity deform)
+            fidx = 0 if canonical else i % skel["pose_transforms"].shape[0]
+            pose = (
+                skel["rest_transforms"] if canonical
+                else skel["pose_transforms"][fidx]
+            )
             bone_tf = bone_deformation_transforms(
-                jnp.asarray(skel["pose_transforms"][fidx]),
+                jnp.asarray(pose),
                 jnp.asarray(skel["rest_transforms"]),
                 append_identity=voxel_grid is not None,
             )
         frames.append(np.asarray(render_one(model, cams[i], bone_tf)))
-    out_path = os.path.join(out_dir, "results", "novel_path.mp4")
+    out_path = os.path.join(out_dir, "results", video_name)
     dump_video(frames, out_path, fps=15)
-    print(f"wrote {len(frames)} novel-view frames to {out_path}")
+    print(f"wrote {len(frames)} path frames to {out_path}")
+
+
+def run_test(cfg, out_dir):
+    """Test epoch for the object/hand workloads (reference
+    base.py:190-307 + TestDataset modes, brics_dynamic.py:485-696):
+
+      - dataset.test_on_train_dataset (or worst_cases): re-render every
+        train frame with gt, write pred|gt|diff^2 strips to
+        test_train.mp4 + per-frame metrics; worst_cases additionally
+        ranks frames ascending by PSNR into worst_cases.json (the
+        reference pose-optimizer's "optimize worst first" input).
+      - dataset.test_on_canonical_pose: camera-path sweep at the rest
+        pose -> test_cano.mp4.
+      - else: novel camera-path sweep -> test_novel.mp4.
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    on_train = cfg.dataset.test_on_train_dataset or cfg.dataset.worst_cases
+    if not on_train:
+        cano = cfg.dataset.test_on_canonical_pose
+        name = "test_cano.mp4" if cano else "test_novel.mp4"
+        return run_render_path(cfg, out_dir, video_name=name, canonical=cano)
+
+    from manus_tpu.models.gaussians import (
+        get_covariance, get_features, get_opacity,
+    )
+    from manus_tpu.ops.rasterizer.api import render_gaussians
+    from manus_tpu.ops.skinning import (
+        bone_deformation_transforms, skin_gaussians,
+    )
+    from manus_tpu.train import checkpoint as ckpt_mod
+    from manus_tpu.train.workloads import make_raster_config, resolve_skin_weights
+    from manus_tpu.utils import losses as loss_mod
+    from manus_tpu.utils.camera import index_camera
+    from manus_tpu.utils.io import concat_images, dump_points, dump_video
+
+    # full train split (reference sets split_ratio = 0, base.py:29-31)
+    cfg.dataset.split_ratio = 0.0
+    dataset = build_dataset(cfg, "train")
+    articulated = cfg.workload == "hand"
+
+    path = ckpt_mod.find_best_checkpoint(cfg.render_ckpt_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.render_ckpt_dir}")
+    model, voxel_grid, _ = ckpt_mod.load_gaussian_model(path)
+    print(f"loaded {path} ({int(model.num_active())} gaussians)")
+    raster_cfg = make_raster_config(cfg)
+
+    @jax.jit
+    def render_one(model, cam_tree, bone_tf):
+        params = model.params
+        cov = get_covariance(params, isotropic=cfg.model.isotropic_scaling)
+        if articulated:
+            skin_w = resolve_skin_weights(model, voxel_grid)
+            sk = skin_gaussians(params.xyz, cov, skin_w, bone_tf)
+            posed, cov, tf = sk.posed_xyz, sk.posed_cov, sk.tf
+        else:
+            posed, tf = params.xyz, None
+        out = render_gaussians(
+            posed, cov, params.xyz, get_features(params),
+            get_opacity(params), cam_tree, jnp.zeros(3),
+            sh_degree=cfg.model.sh_degree, tf=tf, active=model.active,
+            config=raster_cfg,
+        )
+        return out.render, posed
+
+    res_dir = os.path.join(out_dir, "results", "eval_results")
+    os.makedirs(res_dir, exist_ok=True)
+    frames_list = list(range(0, dataset.num_frames,
+                             max(cfg.dataset.frame_sample_rate, 1)))
+    strips, records = [], []
+    for i, f in enumerate(frames_list):
+        v = f % dataset.num_views
+        raw = dataset.get_batch(f, np.asarray([v]))
+        bone_tf = None
+        if articulated:
+            bone_tf = bone_deformation_transforms(
+                dataset.bones_posed[f].transforms,
+                dataset.bones_rest.transforms,
+                append_identity=voxel_grid is not None,
+            )
+        render, posed = render_one(
+            model, index_camera(dataset.cameras, v), bone_tf
+        )
+        pred = np.clip(np.asarray(render), 0, 1)
+        gt = np.asarray(raw["rgb"][0], np.float32)
+        psnr = float(loss_mod.psnr(jnp.asarray(pred), jnp.asarray(gt)))
+        diff = (gt - pred) ** 2  # reference uses squared diff in test strips
+        strips.append(concat_images(pred, gt, diff))
+        records.append(dict(frame=int(f), view=int(v), psnr=psnr))
+        if i == 0:
+            gdir = os.path.join(res_dir, "gaussians")
+            colors = None
+            if articulated:
+                from manus_tpu.data.voxel import visualize_skin_weights
+
+                sw = resolve_skin_weights(model, voxel_grid)
+                if sw is not None:
+                    colors = visualize_skin_weights(np.asarray(sw))[
+                        np.asarray(model.active)
+                    ]
+            dump_points(
+                np.asarray(posed)[np.asarray(model.active)],
+                os.path.join(gdir, f"test_{f}_posed.ply"), colors,
+            )
+    dump_video(strips, os.path.join(res_dir, "test_train.mp4"), fps=10)
+    mean_psnr = float(np.mean([r["psnr"] for r in records]))
+    print(f"test epoch: {len(strips)} frames, mean psnr={mean_psnr:.2f}")
+    if cfg.dataset.worst_cases:
+        ranked = sorted(records, key=lambda r: r["psnr"])
+        with open(os.path.join(res_dir, "worst_cases.json"), "w") as fjson:
+            json.dump(ranked, fjson, indent=2)
+        print(
+            f"worst case: frame {ranked[0]['frame']} "
+            f"(psnr={ranked[0]['psnr']:.2f}) -> worst_cases.json"
+        )
 
 
 def main(argv=None):
@@ -361,8 +489,10 @@ def main(argv=None):
 
     if cfg.trainer.mode == "render_path":
         run_render_path(cfg, out_dir)
-    elif cfg.workload == "composite" or cfg.trainer.mode == "test":
+    elif cfg.workload == "composite":
         run_composite(cfg, out_dir)
+    elif cfg.trainer.mode == "test":
+        run_test(cfg, out_dir)
     else:
         run_train(cfg, out_dir)
 

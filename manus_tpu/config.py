@@ -54,6 +54,12 @@ class DatasetConfig:
     grid_res: int = 64
     grid_size: Tuple[float, float, float] = (1.0, 0.9, 0.6)
     grid_offset: float = 0.0
+    # test-epoch modes (reference TestDataset, brics_dynamic.py:485-696 +
+    # base.py:23-31,245-307): trainer.mode=test consumes these
+    test_on_train_dataset: bool = False  # re-render train frames w/ gt
+    test_on_canonical_pose: bool = False  # path sweep at rest pose
+    worst_cases: bool = False  # implies test_on_train; ranks frames by psnr
+    frame_sample_rate: int = 1  # test-epoch frame subsampling
 
 
 @dataclasses.dataclass

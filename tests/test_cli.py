@@ -101,3 +101,49 @@ def test_cli_composite_finetune(cli_out):
     ])
     ours = os.path.join(base, "compft", "results", "eval_results", "ours")
     assert os.path.exists(os.path.join(ours, "acc_contacts.npy"))
+
+
+def test_cli_test_modes(cli_out, tmp_path):
+    """Reference TestDataset modes (brics_dynamic.py:485-696 +
+    base.py:23-31,245-307): worst_cases test-on-train epoch with ranked
+    json + strips video, and the canonical-pose camera-path sweep."""
+    import json
+    import pickle
+
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    # worst-cases epoch on the train dataset
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "trainer.mode=test", "dataset.worst_cases=true",
+        "dataset.num_frames=2", "dataset.grid_res=24",
+        "trainer.exp_name=test_train_mode",
+        f"trainer.output_dir={cli_out}",
+        f"render_ckpt_dir={base}/hand/checkpoints",
+    ])
+    res = os.path.join(base, "test_train_mode", "results", "eval_results")
+    assert os.path.exists(os.path.join(res, "test_train.mp4"))
+    with open(os.path.join(res, "worst_cases.json")) as f:
+        ranked = json.load(f)
+    assert len(ranked) == 2
+    assert ranked[0]["psnr"] <= ranked[-1]["psnr"]
+    assert any(
+        g.endswith("_posed.ply")
+        for g in os.listdir(os.path.join(res, "gaussians"))
+    )
+
+    # canonical-pose path sweep
+    intrs = [(80.0, 80.0, 32.0, 32.0)] * 2
+    extrs = [np.hstack([np.eye(3), np.asarray([[0.0], [0.0], [1.0]])])] * 2
+    path = str(tmp_path / "path_cano.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"intrs": intrs, "extrs": extrs}, f)
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "trainer.mode=test", "dataset.test_on_canonical_pose=true",
+        "render_frames=2", "trainer.exp_name=test_cano_mode",
+        f"trainer.output_dir={cli_out}", f"camera_path={path}",
+        f"render_ckpt_dir={base}/hand/checkpoints",
+    ])
+    assert os.path.exists(
+        os.path.join(base, "test_cano_mode", "results", "test_cano.mp4")
+    )
