@@ -58,6 +58,103 @@ def skin_mask_from_color(
     return mask
 
 
+# The reference's 16 per-bone paint colors (get_iou_ours.py:93-110) — a
+# fixed palette constant shared with its Blender-side skin renders.
+BONE_COLORS = np.asarray(
+    [
+        [43, 159, 43], [31, 119, 178], [173, 198, 231], [254, 186, 119],
+        [151, 222, 137], [213, 38, 39], [254, 151, 149], [196, 175, 212],
+        [139, 85, 74], [195, 155, 147], [246, 181, 209], [126, 126, 126],
+        [198, 199, 198], [218, 218, 140], [25, 190, 206], [156, 217, 228],
+    ],
+    np.float32,
+)
+
+
+def skin_bone_masks(
+    image: np.ndarray,  # [H, W, 3] uint8/float RGB skin-weight render
+    gt_mask: np.ndarray,  # [H, W] bool/0-1 hand silhouette
+    color_offset: float = 10.0,
+) -> np.ndarray:
+    """Per-bone label image from a painted/skin-colored hand render with
+    nearest-neighbor hole filling (reference get_skin_mask,
+    get_iou_ours.py:74-151).
+
+    Each of the 16 bone colors is keyed within +-offset, eroded+dilated
+    (3x3 ellipse) to kill speckle, argmax'd into a label map (0 =
+    background), masked to the hand silhouette — then every silhouette
+    pixel that got NO label votes takes the label of its nearest labeled
+    pixel (the reference's brute-force 2D NN vote, here on the MXU kNN).
+    Returns [H, W] int labels in [0, 16].
+    """
+    import cv2
+
+    from manus_tpu.ops.knn import nearest_neighbor
+
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    img = img.astype(np.float32)
+    gt = np.asarray(gt_mask).astype(bool)
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    layers = [np.zeros(gt.shape, np.uint8)]  # background layer
+    for c in BONE_COLORS:
+        lo = np.asarray(c - color_offset, np.float32)
+        hi = np.asarray(c + color_offset, np.float32)
+        m = cv2.inRange(img, lo, hi)
+        m = cv2.dilate(cv2.erode(m, kernel, 1), kernel, 1)
+        layers.append(m)
+    labels = np.argmax(np.stack(layers, axis=-1), axis=-1)
+    labels = labels * gt
+
+    residual = np.logical_xor(gt, labels > 0)
+    res_coord = np.argwhere(residual)
+    lab_coord = np.argwhere(labels > 0)
+    if len(res_coord) and len(lab_coord):
+        # 2D NN vote (pad z=0 for the 3D kernel)
+        q = np.concatenate(
+            [res_coord.astype(np.float32), np.zeros((len(res_coord), 1),
+                                                    np.float32)], axis=1
+        )
+        r = np.concatenate(
+            [lab_coord.astype(np.float32), np.zeros((len(lab_coord), 1),
+                                                    np.float32)], axis=1
+        )
+        import jax.numpy as jnp
+
+        _, idx = nearest_neighbor(jnp.asarray(q), jnp.asarray(r))
+        src = lab_coord[np.asarray(idx)]
+        labels[res_coord[:, 0], res_coord[:, 1]] = labels[
+            src[:, 0], src[:, 1]
+        ]
+    return labels
+
+
+def per_bone_iou_f1(
+    skin_labels: np.ndarray,  # [H, W] int in [0, B]
+    gt_mask: np.ndarray,  # [H, W] binary gt contact
+    pred_mask: np.ndarray,  # [H, W] binary predicted contact
+    n_bones: int = 16,
+):
+    """Per-bone contact IoU/F1 by restricting both masks to each bone's
+    skin region (reference calculate_per_bone_iou, get_iou_ours.py:189-218).
+    Returns (iou[B], f1[B]) with NaN where a bone has no contact pixels."""
+    ious, f1s = [], []
+    gt = np.asarray(gt_mask).astype(bool)
+    pred = np.asarray(pred_mask).astype(bool)
+    for b in range(1, n_bones + 1):
+        region = skin_labels == b
+        g = gt & region
+        p = pred & region
+        inter = np.logical_and(g, p).sum()
+        union = np.logical_or(g, p).sum()
+        ious.append(inter / union if union else float("nan"))
+        denom = g.sum() + p.sum()
+        f1s.append(2 * inter / denom if denom else float("nan"))
+    return np.asarray(ious), np.asarray(f1s)
+
+
 def evaluate_contact_dir(
     pred_dir: str,
     gt_dir: str,

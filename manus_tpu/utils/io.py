@@ -44,6 +44,39 @@ def dump_points(points, path: str, colors=None):
                 f.write(struct.pack("<BBB", *cols[i]))
 
 
+def dump_mesh(path: str, verts, faces, colors=None):
+    """Write a triangle mesh as binary little-endian PLY with optional
+    per-vertex colors (reference extra.dump_mesh contract, consumed by
+    the Blender-side contact renders)."""
+    v = np.asarray(verts, np.float32).reshape(-1, 3)
+    f = np.asarray(faces, np.int32).reshape(-1, 3)
+    has_color = colors is not None
+    if has_color:
+        cols = np.asarray(colors)
+        if cols.shape[-1] == 4:
+            cols = cols[..., :3]
+        if cols.max() <= 1.0 + 1e-6:
+            cols = cols * 255
+        cols = np.clip(cols, 0, 255).astype(np.uint8).reshape(-1, 3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {v.shape[0]}",
+                  "property float x", "property float y", "property float z"]
+        if has_color:
+            header += ["property uchar red", "property uchar green",
+                       "property uchar blue"]
+        header += [f"element face {f.shape[0]}",
+                   "property list uchar int vertex_indices", "end_header"]
+        fh.write(("\n".join(header) + "\n").encode("ascii"))
+        for i in range(v.shape[0]):
+            fh.write(struct.pack("<fff", *v[i]))
+            if has_color:
+                fh.write(struct.pack("<BBB", *cols[i]))
+        for i in range(f.shape[0]):
+            fh.write(struct.pack("<Biii", 3, *f[i]))
+
+
 def dump_image(img, path: str):
     """img: [H, W, 3] float [0,1] or uint8, RGB."""
     import cv2

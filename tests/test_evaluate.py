@@ -62,3 +62,75 @@ def test_step_timer():
     t.tick()
     ips = t.tick()
     assert ips > 0
+
+
+def test_skin_bone_masks_hole_filling():
+    """Reference get_skin_mask (get_iou_ours.py:74-151): color keying +
+    NN hole-filling vote — unlabeled silhouette pixels take the nearest
+    label."""
+    from manus_tpu.train.evaluate import BONE_COLORS, skin_bone_masks
+
+    h = w = 64
+    img = np.zeros((h, w, 3), np.uint8)
+    gt = np.zeros((h, w), bool)
+    # two painted bone regions + an unlabeled hole between them
+    img[10:30, 10:30] = BONE_COLORS[0].astype(np.uint8)
+    img[10:30, 40:60] = BONE_COLORS[5].astype(np.uint8)
+    gt[10:30, 10:60] = True  # silhouette spans the unpainted gap too
+    labels = skin_bone_masks(img, gt)
+    assert labels[20, 20] == 1  # bone colors are 1-indexed (0 = bg)
+    assert labels[20, 50] == 6
+    # the hole (cols 30:40) got filled by its nearest labels, split between
+    # the two neighbors
+    hole = labels[10:30, 30:40]
+    assert (hole > 0).all()
+    assert set(np.unique(hole)) <= {1, 6}
+    assert 1 in hole and 6 in hole
+    # outside the silhouette stays background
+    assert labels[0, 0] == 0
+
+
+def test_per_bone_iou_f1():
+    from manus_tpu.train.evaluate import per_bone_iou_f1
+
+    labels = np.zeros((8, 8), int)
+    labels[:, :4] = 1
+    labels[:, 4:] = 2
+    gt = np.zeros((8, 8), bool); gt[:, :4] = True
+    pred = np.zeros((8, 8), bool); pred[:4, :4] = True
+    iou, f1 = per_bone_iou_f1(labels, gt, pred, n_bones=2)
+    assert abs(iou[0] - 0.5) < 1e-6
+    assert abs(f1[0] - 2/3) < 1e-6
+    assert np.isnan(iou[1])  # bone 2 has no contact at all
+
+
+def test_mano_baseline_contacts(tmp_path):
+    """Reference mano_contacts.py:92-116: subdivided baseline mesh
+    contacts vs object points, per-frame + accumulated colored dumps."""
+    from manus_tpu.train.baselines import mano_baseline_contacts, subdivide_mesh
+
+    # a unit tetrahedron as the stand-in hand mesh
+    verts = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+    )
+    faces = np.asarray([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    v2, f2 = subdivide_mesh(verts, faces)
+    assert f2.shape[0] == 16 and v2.shape[0] == 4 + 6  # 4 faces x4, 6 edges
+    # subdividing rest and posed copies keeps correspondence
+    shift = verts + 1.0
+    v2s, _ = subdivide_mesh(shift, faces)
+    np.testing.assert_allclose(v2s, v2 + 1.0, atol=1e-6)
+
+    # object touching vertex 0 of the posed mesh only
+    obj = np.asarray([[0.001, 0, 0]], np.float32)
+    posed_seq = [verts, verts]  # two identical frames
+    acc = mano_baseline_contacts(
+        verts, faces, posed_seq, obj, str(tmp_path), subdiv_iters=2,
+    )
+    assert acc.shape[0] == subdivide_mesh(*subdivide_mesh(verts, faces))[0].shape[0]
+    assert acc[0] > 0  # vertex at the object accumulated contact
+    assert acc.max() <= 2.0 + 1e-6  # two frames of normalized contact
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "gt_eval", "0.ply"))
+    assert os.path.exists(os.path.join(str(tmp_path), "acc_eval", "1.ply"))
