@@ -217,13 +217,30 @@ def run_composite(cfg, out_dir):
     )
     bg = jnp.zeros(3)
     frames = []
+    # per-frame test cameras (reference TestDataset: one camera-path
+    # entry per frame; acc_gt_eval sweeps the calib cameras instead,
+    # which our dataset cameras already are). Falls back to cycling the
+    # dataset cameras when no path file exists.
+    path_cams = None
+    if mode != "acc_gt_eval" and cfg.camera_path and os.path.exists(
+        cfg.camera_path
+    ):
+        from manus_tpu.utils.io import load_camera_path
+
+        path_cams = load_camera_path(
+            cfg.camera_path, cfg.dataset.width, cfg.dataset.height
+        )
+        print(f"composite: sweeping {len(path_cams)} path cameras")
     cano_cam = index_camera(dataset.cameras, 0)
     for f in range(dataset.num_frames):
         bone_tf = bone_deformation_transforms(
             dataset.bones_posed[f].transforms, dataset.bones_rest.transforms,
             append_identity=hand_vg is not None,
         )
-        cam = index_camera(dataset.cameras, f % dataset.num_views)
+        if path_cams is not None:
+            cam = path_cams[f % len(path_cams)]
+        else:
+            cam = index_camera(dataset.cameras, f % dataset.num_views)
         render, acc, _ = render_fn(
             models, bone_tf, cam, cano_cam, bg, acc, aux_colors
         )

@@ -140,11 +140,21 @@ class Trainer:
         f = self._rng.randint(0, ds.num_frames) if self.articulated else 0
         views = self._rng.randint(0, ds.num_views, size=v)
         raw = ds.get_batch(f, views)
+        rgb = np.asarray(raw["rgb"], np.float32)
+        mask = np.asarray(raw["mask"], np.float32)
+        if self.cfg.dataset.bg_color == "random":
+            # per-step random background augmentation (reference
+            # get_bg_color, brics_dynamic.py:334-341: a fresh color each
+            # fetch, composited into the gt and passed to the renderer)
+            bg = self._rng.rand(3).astype(np.float32)
+            rgb = rgb * mask + bg * (1.0 - mask)
+        else:
+            bg = self.bg
         batch = {
-            "rgb": jnp.asarray(raw["rgb"], jnp.float32),
-            "mask": jnp.asarray(raw["mask"], jnp.float32),
+            "rgb": jnp.asarray(rgb),
+            "mask": jnp.asarray(mask),
             "cameras": index_camera(ds.cameras, views),
-            "bg": jnp.asarray(self.bg),
+            "bg": jnp.asarray(bg),
         }
         if self.articulated:
             batch["bone_tf"] = self._bone_tf(f)
