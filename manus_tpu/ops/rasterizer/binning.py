@@ -1,17 +1,21 @@
-"""Tile binning: turn depth-sorted gaussians into per-tile contiguous lists.
+"""Tile binning: turn projected gaussians into per-tile contiguous lists.
 
 TPU-native replacement for the CUDA duplicate-and-radix-sort binning in
 diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
 
-  1. argsort gaussians by view depth ([N] XLA sort, stable);
-  2. expand each gaussian into at most TG_MAX (gaussian, tile) pairs by
+  1. expand each gaussian into at most TG_MAX (gaussian, tile) pairs by
      enumerating its tile-rect slots (static [N, TG_MAX] grid; the
      slot->offset div/mod runs in f32 — TPUs have no vector integer
      divide, and the operands are tiny enough for exact f32 division);
-  3. one stable XLA sort of the flat pair array keyed by tile id — because
-     pairs are generated in depth order, stability gives per-tile
-     front-to-back order for free (no 64-bit composite keys needed);
-  4. per-tile segments live at their NATURAL sorted offsets [start, end):
+  2. ONE stable two-key XLA sort of the flat pair array keyed by
+     (tile id, view depth) with the gaussian index as value — the depth
+     key replaces the CUDA 64-bit tile|depth composite AND the earlier
+     design's separate [N] depth argsort + [N]-gather of rects into depth
+     order (measured ~1.5 ms of the ~5.5 ms binning cost at 65k/512^2;
+     a fused single-int32 key was measured SLOWER than the two-key sort).
+     Stability gives the reference tie-break: equal (tile, depth) pairs
+     stay in slot order.
+  3. per-tile segments live at their NATURAL sorted offsets [start, end):
      no re-layout. (An earlier design re-laid segments out lane-aligned;
      the required 2M-wide table-gather + scatter cost ~27 ms/frame on v5e
      — far more than the raster kernel itself.) The Pallas kernel instead
@@ -43,14 +47,12 @@ class TileBins(NamedTuple):
     tile_offsets: [T] int32 — segment start of each tile (NOT lane-aligned).
     tile_counts: [T] int32 — number of pairs per tile (budget-clamped).
     overflow_count: [] int32 — pairs dropped (tg_max truncation + budget).
-    depth_order: [N] int32 — gaussians sorted by depth (diagnostics).
     """
 
     pair_src: jax.Array
     tile_offsets: jax.Array
     tile_counts: jax.Array
     overflow_count: jax.Array
-    depth_order: jax.Array
 
 
 def bin_gaussians(
@@ -65,15 +67,10 @@ def bin_gaussians(
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
 
-    # -- 1. depth order (invisible gaussians pushed to the back so their
-    # pairs cluster at the sentinel; stable to match CUDA tie-breaking).
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+    rect = proj.tile_rect  # [N, 4], original (unsorted) order
+    visible = proj.visible
 
-    rect = proj.tile_rect[order]  # [N, 4]
-    visible = proj.visible[order]
-
-    # -- 2. expand tile-rect slots (f32 div: operands < 2^10, exact).
+    # -- 1. expand tile-rect slots (f32 div: operands < 2^10, exact).
     rw = rect[:, 2] - rect[:, 0]
     rh = rect[:, 3] - rect[:, 1]
     n_slots = rw * rh
@@ -91,15 +88,21 @@ def bin_gaussians(
         jnp.where(visible, jnp.maximum(n_slots - tg_max, 0), 0)
     ).astype(jnp.int32)
 
-    # -- 3. stable sort pairs by tile id; values carry the ORIGINAL
-    # gaussian index directly.
+    # -- 2. one stable (tile, depth) two-key sort; values carry the
+    # ORIGINAL gaussian index. Equal depths tie-break by slot order —
+    # identical to the previous stable depth-argsort + stable tile sort.
     pair_tile = tile_id.reshape(-1)
-    pair_gidx = jnp.broadcast_to(order[:, None], (n, tg_max)).reshape(-1)
-    sorted_tile, sorted_gidx = jax.lax.sort(
-        (pair_tile, pair_gidx), num_keys=1, is_stable=True
+    pair_depth = jnp.broadcast_to(
+        proj.depth[:, None], (n, tg_max)
+    ).reshape(-1)
+    pair_gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, tg_max)
+    ).reshape(-1)
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (pair_tile, pair_depth, pair_gidx), num_keys=2, is_stable=True
     )
 
-    # -- 4. segment bounds (T+1 queries, cheap) + static budget truncation.
+    # -- 3. segment bounds (T+1 queries, cheap) + static budget truncation.
     tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
 
@@ -139,5 +142,4 @@ def bin_gaussians(
         tile_offsets=starts,
         tile_counts=counts,
         overflow_count=overflow,
-        depth_order=order,
     )
