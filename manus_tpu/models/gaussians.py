@@ -35,6 +35,12 @@ class GaussianOpts:
     scaling_lr: float = 0.005
     rotation_lr: float = 0.001
     skinning_lr: float = 0.001
+    # The reference declares skinning_lr (gaussian.yaml:12) and an
+    # optimizing_skin_weights mode (hand_gaussian.py:60) but never adds the
+    # weights to an optimizer group; here the mode is actually wired:
+    # per-point skin weights (skin_init=mano_init_points) train with their
+    # own masked Adam, clamped >=0 and renormalized each step.
+    optimize_skin_weights: bool = False
     percent_dense: float = 0.000001
     densification_interval: int = 100
     opacity_reset_interval: int = 3000

@@ -114,6 +114,45 @@ def adam_update(
     return new_params, AdamState(m=new_m, v=new_v, step=step)
 
 
+class ArrayAdamState(NamedTuple):
+    """Adam moments for a single auxiliary array (skin weights). Bias
+    correction shares the main AdamState's step counter."""
+
+    m: jax.Array
+    v: jax.Array
+
+
+def init_array_adam(x: jax.Array) -> ArrayAdamState:
+    return ArrayAdamState(m=jnp.zeros_like(x), v=jnp.zeros_like(x))
+
+
+def array_adam_update(
+    p: jax.Array,
+    g: jax.Array,
+    state: ArrayAdamState,
+    lr: float,
+    active: jax.Array,
+    step: jax.Array,  # 1-based (the main optimizer's post-increment step)
+):
+    """Masked Adam step for one array (the skinning_lr group the reference
+    declares at gaussian.yaml:12 but never wires up — here it is live)."""
+    bc1 = 1.0 - BETA1 ** step.astype(jnp.float32)
+    bc2 = 1.0 - BETA2 ** step.astype(jnp.float32)
+    mask = active.reshape((-1,) + (1,) * (p.ndim - 1))
+    g = jnp.where(mask, g, 0.0)
+    m_new = BETA1 * state.m + (1 - BETA1) * g
+    v_new = BETA2 * state.v + (1 - BETA2) * g * g
+    p_new = p - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + EPS)
+    return jnp.where(mask, p_new, p), ArrayAdamState(m=m_new, v=v_new)
+
+
+def array_reset_rows(state: ArrayAdamState, rows_mask: jax.Array):
+    mask = rows_mask.reshape((-1,) + (1,) * (state.m.ndim - 1))
+    return ArrayAdamState(
+        m=jnp.where(mask, 0.0, state.m), v=jnp.where(mask, 0.0, state.v)
+    )
+
+
 def reset_moments_rows(state: AdamState, rows_mask: jax.Array) -> AdamState:
     """Zero first/second moments for the masked rows (densify surgery).
 

@@ -268,6 +268,12 @@ class Trainer:
         mask = outlier_mask(model.params.xyz, model.active, prob=0.8)
         new_model, new_opt, n = prune_by_mask(model, self.state.opt, mask)
         state = self.state._replace(model=new_model, opt=new_opt)
+        if state.skin_opt is not None:
+            from manus_tpu.train.optim import array_reset_rows
+
+            state = state._replace(
+                skin_opt=array_reset_rows(state.skin_opt, mask)
+            )
         return state, int(n)
 
     # ---- validation -----------------------------------------------------

@@ -51,6 +51,9 @@ class TrainState(NamedTuple):
     step: jax.Array  # [] int32
     rng: jax.Array
     mask_pruned_flag: jax.Array  # [] bool: did mask-prune fire this step
+    # Adam moments for per-point skin weights (opts.optimize_skin_weights);
+    # None unless the model carries point-mode skin weights.
+    skin_opt: Optional[optim_mod.ArrayAdamState] = None
 
 
 def init_train_state(model: GaussianModel, seed: int = 0) -> TrainState:
@@ -61,6 +64,11 @@ def init_train_state(model: GaussianModel, seed: int = 0) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(seed),
         mask_pruned_flag=jnp.zeros((), bool),
+        skin_opt=(
+            optim_mod.init_array_adam(model.skin_weights)
+            if model.skin_weights is not None
+            else None
+        ),
     )
 
 
@@ -134,6 +142,9 @@ def make_train_step(
     raster_cfg = make_raster_config(cfg)
     loss_names = tuple(cfg.loss.losses)
     loss_weights = tuple(cfg.loss.loss_weight)
+    # Trainable per-point skin weights (points mode only — voxel mode
+    # resamples from the grid each step, so there is no per-point leaf).
+    train_sw = bool(opts.optimize_skin_weights) and voxel_grid is None
 
     def loss_fn(params, m2d_off, active, skin_w, batch, step,
                 gauss_axis=None):
@@ -205,11 +216,14 @@ def make_train_step(
         skin_w = resolve_skin_weights(state.model, voxel_grid)
         m2d_zero = jnp.zeros((v, n, 2), jnp.float32)
 
+        argnums = (0, 1, 3) if train_sw else (0, 1)
         if mesh is None:
-            (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
+            (loss, aux), grads_out = jax.value_and_grad(
+                loss_fn, argnums=argnums, has_aux=True
             )(state.model.params, m2d_zero, state.model.active, skin_w, batch,
               state.step)
+            g_params, g_m2d = grads_out[0], grads_out[1]
+            g_sw = grads_out[2] if train_sw else None
             # Rescale to per-view-loss gradients: loss_fn averages over V,
             # so d(mean)/dm2d[i] = (1/V) dL_i/dm2d. The reference accumulates
             # d(L_i)/dmeans2D from per-view backwards (base.py accum_iter),
@@ -226,25 +240,31 @@ def make_train_step(
             g_axis = GAUSS_AXIS if n_gauss > 1 else None
 
             def local_grads(params, m2d, active, sw, local_batch, step):
-                (l, a), (gp, gm) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
+                (l, a), gout = jax.value_and_grad(
+                    loss_fn, argnums=argnums, has_aux=True
                 )(params, m2d, active, sw, local_batch, step, g_axis)
+                gp, gm = gout[0], gout[1]
+                gsw = gout[2] if train_sw else None
                 # average loss and param grads over the data axis; per-view
                 # quantities stay sharded
                 l = jax.lax.pmean(l, "data")
                 gp = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), gp)
+                if gsw is not None:
+                    gsw = jax.lax.pmean(gsw, "data")
                 if g_axis is not None:
                     # every gauss column computes the identical loss replica
                     # from the gathered fields, so the all_gather transpose
                     # (psum_scatter over "gauss") sums n_gauss identical
                     # cotangents into each param shard — rescale back.
                     gp = jax.tree.map(lambda g: g / n_gauss, gp)
+                    if gsw is not None:
+                        gsw = gsw / n_gauss
                 # per-view-loss viewspace grads (see single-device branch):
                 # loss_fn averaged over the LOCAL shard, so undo with the
                 # local view count — stats become mesh-shape invariant.
                 # (m2d enters POST-gather at full N: no gauss rescale.)
                 gm = gm * local_batch["rgb"].shape[0]
-                return (l, a), (gp, gm)
+                return (l, a), (gp, gm, gsw)
 
             shard = P("data")
             rep = P()
@@ -266,12 +286,13 @@ def make_train_step(
                 radii=shard, renders=shard, parts=shard, posed_xyz=gshard,
                 overflow=shard,
             )
-            (loss, aux), (g_params, g_m2d) = shard_map(
+            gsw_spec = gshard if train_sw else None
+            (loss, aux), (g_params, g_m2d, g_sw) = shard_map(
                 local_grads, mesh=mesh,
                 in_specs=(gspec(state.model.params), shard, gshard,
                           gspec(skin_w), batch_specs, rep),
                 out_specs=((rep, aux_specs), (gspec(state.model.params),
-                                              shard)),
+                                              shard, gsw_spec)),
                 check_vma=False,
             )(state.model.params, m2d_zero, state.model.active, skin_w, batch,
               state.step)
@@ -281,6 +302,23 @@ def make_train_step(
             state.model.params, g_params, state.opt, lrs, state.model.active
         )
         model = state.model._replace(params=new_params)
+        new_skin_opt = state.skin_opt
+        if train_sw and g_sw is not None:
+            # skinning_lr group (the knob the reference declares but never
+            # wires): masked Adam, then clamp>=0 + renormalize so the LBS
+            # blend stays a convex combination of bone transforms.
+            new_sw, new_skin_opt = optim_mod.array_adam_update(
+                state.model.skin_weights, g_sw, state.skin_opt,
+                opts.skinning_lr, state.model.active, new_opt.step,
+            )
+            new_sw = jnp.maximum(new_sw, 0.0)
+            norm = jnp.sum(new_sw, axis=-1, keepdims=True)
+            new_sw = jnp.where(
+                state.model.active[:, None] & (norm > 1e-8),
+                new_sw / jnp.maximum(norm, 1e-8),
+                state.model.skin_weights,
+            )
+            model = model._replace(skin_weights=new_sw)
 
         # ---- mask pruning phase (reference on_after_backward):
         step = state.step
@@ -330,6 +368,13 @@ def make_train_step(
             lambda o: o,
             new_opt,
         )
+        if new_skin_opt is not None:
+            new_skin_opt = jax.lax.cond(
+                do_prune,
+                lambda o: optim_mod.array_reset_rows(o, outside),
+                lambda o: o,
+                new_skin_opt,
+            )
         model = model._replace(active=new_active)
 
         # ---- densification stats (skipped on mask-prune steps, matching
@@ -367,6 +412,7 @@ def make_train_step(
             step=step + 1,
             rng=state.rng,
             mask_pruned_flag=do_prune,
+            skin_opt=new_skin_opt,
         )
         return new_state, metrics
 
@@ -384,8 +430,15 @@ def make_densify_step(cfg: ExperimentConfig, extent: float):
             state.model, state.opt, state.stats, opts, extent, sub,
             use_size_threshold=use_size,
         )
+        skin_opt = state.skin_opt
+        if skin_opt is not None:
+            # freshly written / killed slots are exactly the activity flips
+            # (children land in free slots) — same policy as the main opt
+            skin_opt = optim_mod.array_reset_rows(
+                skin_opt, model.active != state.model.active
+            )
         return state._replace(
-            model=model, opt=opt, stats=stats, rng=rng
+            model=model, opt=opt, stats=stats, rng=rng, skin_opt=skin_opt
         ), info
 
     @jax.jit
