@@ -117,6 +117,31 @@ def run_pipeline(
     )
 
 
+def visualize_ik_frames(
+    result: dict,
+    images: np.ndarray,  # [F, V, H, W, 3] uint8
+    projections: np.ndarray,  # [V, 3, 4]
+    out_dir: str,
+    kintree: dict | None = None,
+    max_views: int = 4,
+):
+    """Reprojection-overlay stage (reference preprocess/pose.py:33-37 ->
+    scripts/visualize_IK.py): dump the solved skeleton over the camera
+    frames for eyeball QA of the IK fits."""
+    import os
+
+    from manus_tpu.utils.io import dump_image
+    from manus_tpu.utils.vis import visualize_ik_overlay
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in range(min(len(images), result["keypoints3d"].shape[0])):
+        strip = visualize_ik_overlay(
+            images[f], result["keypoints3d"][f], projections, kintree,
+            max_views=max_views,
+        )
+        dump_image(strip, os.path.join(out_dir, f"ik_{f:04d}.png"))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("input_npz")

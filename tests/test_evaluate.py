@@ -134,3 +134,34 @@ def test_mano_baseline_contacts(tmp_path):
 
     assert os.path.exists(os.path.join(str(tmp_path), "gt_eval", "0.ply"))
     assert os.path.exists(os.path.join(str(tmp_path), "acc_eval", "1.ply"))
+
+
+def test_keypoint_2d_visualization():
+    """Reference vis_util.py:11-75: projection + skeleton overlay."""
+    from manus_tpu.utils.vis import (
+        plot_keypoints_2d,
+        project_points,
+        visualize_ik_overlay,
+    )
+
+    # camera at z=-2 looking at origin, f=100, 64x64
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    Rt = np.hstack([np.eye(3), np.array([[0.0], [0.0], [2.0]])])
+    P = K @ Rt
+    pts = np.array([[0.0, 0, 0], [0.1, 0, 0]])
+    uv = project_points(pts, P[None])[0]
+    np.testing.assert_allclose(uv[0], [32, 32], atol=1e-6)
+    assert uv[1][0] > 32  # +x projects right of center
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    kintree = {"0": -1, "1": 0}
+    out = plot_keypoints_2d(pts, img, P, kintree)
+    assert out.sum() > 0  # something was drawn
+    assert out.shape == img.shape
+
+    strip = visualize_ik_overlay(
+        np.zeros((3, 64, 64, 3), np.uint8), pts,
+        np.stack([P, P, P]), kintree, max_views=2,
+    )
+    assert strip.shape == (64, 128, 3)
+    assert strip.sum() > 0
