@@ -232,7 +232,12 @@ def run_composite(cfg, out_dir):
         )
         print(f"composite: sweeping {len(path_cams)} path cameras")
     cano_cam = index_camera(dataset.cameras, 0)
-    for f in range(dataset.num_frames):
+    # gt_eval selects the TAIL of the sequence (reference TestDataset
+    # brics_dynamic.py:564-567: frame_nums[-250:]); other modes sweep all
+    frame_list = list(range(dataset.num_frames))
+    if mode == "gt_eval":
+        frame_list = frame_list[-250:]
+    for f in frame_list:
         bone_tf = bone_deformation_transforms(
             dataset.bones_posed[f].transforms, dataset.bones_rest.transforms,
             append_identity=hand_vg is not None,

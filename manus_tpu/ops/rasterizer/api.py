@@ -126,6 +126,7 @@ def render_gaussians(
     means2d_offset: Optional[jax.Array] = None,
     config: RasterConfig = RasterConfig(),
     gauss_axis: Optional[str] = None,
+    gauss_axis_size: int = 1,
 ) -> RenderOutput:
     """Differentiable 3D Gaussian splat render. See module docstring.
 
@@ -133,10 +134,15 @@ def render_gaussians(
     sharded over (SURVEY §5.7 tensor-parallel analogue). The N-heavy
     per-gaussian stages (SH eval + EWA projection, and upstream LBS) run
     on the local shard; the small projected fields are then all_gathered
-    over the axis so binning + tile compositing see the full cloud.
-    Shard order is the global slot order (tiled gather concatenates
-    shards in axis order), so depth-sort tie-breaking matches the
-    unsharded run exactly. Outputs (render, radii, visible) are full-N.
+    over the axis so binning sees the full cloud. When the tile count
+    divides gauss_axis_size, the COMPOSITE is additionally tile-sharded:
+    each mesh column rasterises its contiguous block of the tile grid and
+    the tile outputs are all_gathered back — so the raster core scales
+    over the axis instead of running replicated (SURVEY §5.7's
+    "tile-space sharding"). Shard order is the global slot order (tiled
+    gather concatenates shards in axis order), so depth-sort tie-breaking
+    matches the unsharded run exactly. Outputs (render, radii, visible)
+    are full-N / full-image on every device.
     """
     n = posed_means.shape[0]
     opacity = cano_opacity.reshape(n)
@@ -170,26 +176,55 @@ def render_gaussians(
     else:
         ntx = (w + TILE - 1) // TILE
         nty = (h + TILE - 1) // TILE
+        num_tiles = ntx * nty
         bins = bin_gaussians(
             proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
             pair_budget_factor=config.pair_budget_factor,
             max_pairs_per_tile=config.max_pairs_per_tile,
         )
         pay = payload_mod.build_payload(proj, colors, opacity, bins)
+        # tile-sharded composite: each gauss-axis column rasterises its
+        # contiguous tile block; outputs gathered back below.
+        shard_tiles = (
+            gauss_axis is not None
+            and gauss_axis_size > 1
+            and num_tiles % gauss_axis_size == 0
+        )
+        if shard_tiles:
+            t_local = num_tiles // gauss_axis_size
+            col = jax.lax.axis_index(gauss_axis)
+            t_base = (col * t_local).astype(jnp.int32)
+            offs = jax.lax.dynamic_slice_in_dim(
+                bins.tile_offsets, t_base, t_local
+            )
+            cnts = jax.lax.dynamic_slice_in_dim(
+                bins.tile_counts, t_base, t_local
+            )
+        else:
+            t_base = None
+            offs, cnts = bins.tile_offsets, bins.tile_counts
         if backend == "pallas":
             from manus_tpu.ops.rasterizer import pallas_backend
 
             rgb_tiles, t_tiles = pallas_backend.composite_tiles_pallas(
-                pay, bins.tile_offsets, bins.tile_counts, ntx, nty,
+                pay, offs, cnts, ntx, nty,
                 tile=TILE, chunk=config.pallas_chunk,
+                tile_base=(
+                    t_base[None] if t_base is not None else None
+                ),
             )
         elif backend == "xla":
             rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(
-                pay, bins, ntx, nty, TILE, config.max_pairs_per_tile,
-                chunk=config.chunk,
+                pay, bins._replace(tile_offsets=offs, tile_counts=cnts),
+                ntx, nty, TILE, config.max_pairs_per_tile,
+                chunk=config.chunk, tile_base=t_base,
+                num_tiles_local=offs.shape[0] if t_base is not None else None,
             )
         else:
             raise ValueError(f"unknown backend {backend}")
+        if shard_tiles:
+            rgb_tiles = jax.lax.all_gather(rgb_tiles, gauss_axis, tiled=True)
+            t_tiles = jax.lax.all_gather(t_tiles, gauss_axis, tiled=True)
         img, t_final = tiled_xla.tiles_to_image(
             rgb_tiles, t_tiles, bg, ntx, nty, TILE, w, h
         )

@@ -103,8 +103,9 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
     n_px = tile * tile
 
     def kernel(
-        offs_ref,  # scalar prefetch [T]
-        cnts_ref,  # scalar prefetch [T]
+        tbase_ref,  # scalar prefetch [1]: global id of tile block start
+        offs_ref,  # scalar prefetch [T_local]
+        cnts_ref,  # scalar prefetch [T_local]
         payload_ref,  # ANY [16, P_budget]
         rgb_ref,  # out [1, Px, 3]
         tfin_ref,  # out [1, Px, 1]
@@ -116,7 +117,9 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
         start_seg = offs_ref[t]
         count = cnts_ref[t]
         first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-        px, py = _pixel_coords(t, ntx, tile)
+        # pixel coords use the GLOBAL tile id (tile-sharded composite:
+        # this program handles global tile tbase + t)
+        px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
         u_incl = _upper_tri_incl(chunk)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
@@ -199,9 +202,10 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
     n_px = tile * tile
 
     def kernel(
-        offs_ref,  # scalar prefetch [T]
-        cnts_ref,  # scalar prefetch [T]
-        kstop_all_ref,  # scalar prefetch [T] int32
+        tbase_ref,  # scalar prefetch [1]: global id of tile block start
+        offs_ref,  # scalar prefetch [T_local]
+        cnts_ref,  # scalar prefetch [T_local]
+        kstop_all_ref,  # scalar prefetch [T_local] int32
         payload_ref,  # ANY [16, P_budget]
         d_rgb_ref,  # in [1, Px, 3]
         d_tfin_ref,  # in [1, Px, 1]
@@ -222,7 +226,7 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
         count = cnts_ref[t]
         k_stop = kstop_all_ref[t]
         first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-        px, py = _pixel_coords(t, ntx, tile)
+        px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
         u_incl = _upper_tri_incl(chunk)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
@@ -337,13 +341,15 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
 
 @functools.lru_cache(maxsize=32)
 def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
-                    interpret: bool):
+                    interpret: bool, t_local: int):
     """Build the custom-vjp composite fn for one static configuration.
 
-    Returns rgb tiles as [T, 3, Px] (transposed from the kernel's [T, Px, 3]
-    in XLA) and t_final as [T, Px].
+    t_local: number of tiles this call composites (= ntx*nty for the full
+    grid; a block of it under tile-sharded multi-chip rendering — the
+    traced tile_base scalar offsets pixel coordinates to the global grid).
+    Returns rgb tiles as [T_local, 3, Px] (transposed from the kernel's
+    [T_local, Px, 3] in XLA) and t_final as [T_local, Px].
     """
-    num_tiles = ntx * nty
     n_px = tile * tile
 
     fwd_kernel = _make_fwd_kernel(ntx, tile, chunk)
@@ -356,8 +362,8 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            num_scalar_prefetch=3,
+            grid=(t_local,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
@@ -370,9 +376,9 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, n_px, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, n_px, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, n_px, 2), jnp.float32),
+            jax.ShapeDtypeStruct((t_local, n_px, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t_local, n_px, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_local, n_px, 2), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=serial,
@@ -381,8 +387,8 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
     bwd_call = pl.pallas_call(
         bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(num_tiles,),
+            num_scalar_prefetch=4,
+            grid=(t_local,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
@@ -407,34 +413,35 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
             has_side_effects=True,
             dimension_semantics=("arbitrary",),
         ),
-        # zeros input (index 8 incl. the 3 scalar-prefetch args) donates its
+        # zeros input (index 9 incl. the 4 scalar-prefetch args) donates its
         # buffer to the output so unwritten chunks read as zero in the RMW
-        input_output_aliases={8: 0},
+        input_output_aliases={9: 0},
     )
 
     @jax.custom_vjp
-    def composite(payload, offsets, counts):
-        rgb, tfin, _ = fwd_call(offsets, counts, payload)
+    def composite(payload, tbase, offsets, counts):
+        rgb, tfin, _ = fwd_call(tbase, offsets, counts, payload)
         return rgb.transpose(0, 2, 1), tfin[:, :, 0]
 
-    def composite_fwd(payload, offsets, counts):
-        rgb, tfin, aux = fwd_call(offsets, counts, payload)
+    def composite_fwd(payload, tbase, offsets, counts):
+        rgb, tfin, aux = fwd_call(tbase, offsets, counts, payload)
         return (rgb.transpose(0, 2, 1), tfin[:, :, 0]), (
-            payload, offsets, counts, tfin, aux,
+            payload, tbase, offsets, counts, tfin, aux,
         )
 
     def composite_bwd(res, cts):
-        payload, offsets, counts, tfin, aux = res
+        payload, tbase, offsets, counts, tfin, aux = res
         d_rgb, d_tfin = cts
         kstop = aux[:, 0, 1].astype(jnp.int32)
         logt = aux[:, :, 0:1]
         zeros = jnp.zeros_like(payload)
         (d_payload,) = bwd_call(
-            offsets, counts, kstop, payload,
+            tbase, offsets, counts, kstop, payload,
             d_rgb.transpose(0, 2, 1), d_tfin[:, :, None], tfin, logt, zeros,
         )
         zero_i = np.zeros(offsets.shape, jax.dtypes.float0)
-        return d_payload, zero_i, zero_i
+        zero_b = np.zeros(tbase.shape, jax.dtypes.float0)
+        return d_payload, zero_b, zero_i, zero_i
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -442,22 +449,30 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
 
 def composite_tiles_pallas(
     payload: jax.Array,  # [16, P_budget]
-    tile_offsets: jax.Array,  # [T] int32 (natural, unaligned)
-    tile_counts: jax.Array,  # [T] int32
+    tile_offsets: jax.Array,  # [T_local] int32 (natural, unaligned)
+    tile_counts: jax.Array,  # [T_local] int32
     ntx: int,
     nty: int,
     tile: int = 16,
     chunk: int = 128,
     interpret: bool | None = None,
+    tile_base: jax.Array | None = None,  # [1] int32 global block start
 ):
-    """Composite all tiles on TPU. Returns (rgb [T,3,Px], t_final [T,Px]).
+    """Composite tiles on TPU. Returns (rgb [T_local,3,Px], t_final
+    [T_local,Px]). tile_offsets/tile_counts may be a BLOCK of the full
+    tile grid (tile-sharded rendering); tile_base carries the block's
+    global starting tile id for pixel-coordinate generation.
 
     `chunk` must be a multiple of the 128-lane alignment on real hardware
     (payload columns are chunk-window DMA'd at aligned offsets).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    t_local = int(tile_offsets.shape[0])
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     fn = _make_composite(
-        ntx, nty, tile, chunk, int(payload.shape[1]), bool(interpret)
+        ntx, nty, tile, chunk, int(payload.shape[1]), bool(interpret),
+        t_local,
     )
-    return fn(payload, tile_offsets, tile_counts)
+    return fn(payload, tile_base, tile_offsets, tile_counts)

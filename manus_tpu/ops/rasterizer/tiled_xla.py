@@ -45,15 +45,23 @@ def composite_tiles_xla(
     tile: int,
     max_pairs_per_tile: int,
     chunk: int = 64,
+    tile_base: jax.Array | None = None,  # [] or [1] int32 block start
+    num_tiles_local: int | None = None,
 ):
-    """Composite all tiles. Returns (rgb [T, 3, Px], t_final [T, Px]).
+    """Composite tiles. Returns (rgb [T_local, 3, Px], t_final [T_local, Px]).
 
     max_pairs_per_tile is a static cap: tiles with more pairs are truncated
     back-to-front (farthest dropped first), which is graceful because
-    segments are in depth order.
+    segments are in depth order. With (tile_base, num_tiles_local) only
+    that BLOCK of the tile grid is composited (tile-sharded rendering);
+    bins.tile_offsets/counts must then already be the block's slices.
     """
-    T = num_tiles_x * num_tiles_y
-    px_x, px_y = tile_pixel_coords(num_tiles_x, num_tiles_y, tile)  # [T, Px]
+    T = num_tiles_local or (num_tiles_x * num_tiles_y)
+    px_x, px_y = tile_pixel_coords(num_tiles_x, num_tiles_y, tile)  # [Tg, Px]
+    if tile_base is not None:
+        base_idx = jnp.reshape(tile_base, ())
+        px_x = jax.lax.dynamic_slice_in_dim(px_x, base_idx, T)
+        px_y = jax.lax.dynamic_slice_in_dim(px_y, base_idx, T)
     n_px = tile * tile
     n_chunks = max(1, -(-max_pairs_per_tile // chunk))
     p_pad = payload.shape[1]

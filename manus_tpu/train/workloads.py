@@ -147,7 +147,7 @@ def make_train_step(
     train_sw = bool(opts.optimize_skin_weights) and voxel_grid is None
 
     def loss_fn(params, m2d_off, active, skin_w, batch, step,
-                gauss_axis=None):
+                gauss_axis=None, gauss_axis_size=1):
         # start_lpips_iter gate (reference base.py:333-341); traced so the
         # same compiled step serves the whole run.
         lpips_on = step >= opts.start_lpips_iter
@@ -172,7 +172,7 @@ def make_train_step(
                 posed_xyz, posed_cov, params.xyz, feats, opac, cam,
                 batch["bg"], sh_degree=opts.sh_degree, tf=tf, active=active,
                 means2d_offset=m2d_v, config=raster_cfg,
-                gauss_axis=gauss_axis,
+                gauss_axis=gauss_axis, gauss_axis_size=gauss_axis_size,
             )
             total, parts = loss_mod.compute_losses(
                 out.render, rgb, scaling_full, active_full, loss_names,
@@ -242,7 +242,8 @@ def make_train_step(
             def local_grads(params, m2d, active, sw, local_batch, step):
                 (l, a), gout = jax.value_and_grad(
                     loss_fn, argnums=argnums, has_aux=True
-                )(params, m2d, active, sw, local_batch, step, g_axis)
+                )(params, m2d, active, sw, local_batch, step, g_axis,
+                  n_gauss)
                 gp, gm = gout[0], gout[1]
                 gsw = gout[2] if train_sw else None
                 # average loss and param grads over the data axis; per-view
@@ -262,8 +263,13 @@ def make_train_step(
                 # per-view-loss viewspace grads (see single-device branch):
                 # loss_fn averaged over the LOCAL shard, so undo with the
                 # local view count — stats become mesh-shape invariant.
-                # (m2d enters POST-gather at full N: no gauss rescale.)
                 gm = gm * local_batch["rgb"].shape[0]
+                if g_axis is not None:
+                    # replicated composite: columns hold identical full gm
+                    # (pmean = identity); tile-sharded composite: each
+                    # column holds n_gauss x its tile block's partial gm,
+                    # and pmean reassembles the true full gradient.
+                    gm = jax.lax.pmean(gm, g_axis)
                 return (l, a), (gp, gm, gsw)
 
             shard = P("data")

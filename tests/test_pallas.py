@@ -103,3 +103,58 @@ def test_pallas_saturated_tile_early_exit_grads():
     # the far gaussian is occluded over the saturated gaussian core (only
     # faint falloff pixels see it) — its gradient must be tiny vs the front
     assert np.abs(g_p[-1]).max() < 0.01 * scale
+
+
+def test_tile_block_composite_matches_full():
+    """Tile-sharded composite building block: rasterising a BLOCK of the
+    tile grid with tile_base must reproduce the corresponding slice of
+    the full-grid outputs (pallas interpret + xla paths)."""
+    from manus_tpu.ops.rasterizer import pallas_backend, payload as pm, tiled_xla
+    from manus_tpu.ops.rasterizer.binning import bin_gaussians
+    from manus_tpu.ops.rasterizer.projection import TILE, project_gaussians
+
+    scene = random_scene(300, seed=5)
+    cam = make_test_camera(64, 64)
+    proj = project_gaussians(
+        jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]), cam
+    )
+    ntx = nty = 64 // TILE
+    bins = bin_gaussians(proj, ntx, nty, 64, 128, 8, 1024)
+    pay = pm.build_payload(
+        proj, jnp.asarray(scene["colors"]), jnp.asarray(scene["opacity"]),
+        bins,
+    )
+    rgb_full, t_full = pallas_backend.composite_tiles_pallas(
+        pay, bins.tile_offsets, bins.tile_counts, ntx, nty, tile=TILE,
+        chunk=64, interpret=True,
+    )
+    T = ntx * nty
+    for base, count in ((0, T // 2), (T // 2, T // 2)):
+        rgb_b, t_b = pallas_backend.composite_tiles_pallas(
+            pay, bins.tile_offsets[base : base + count],
+            bins.tile_counts[base : base + count], ntx, nty, tile=TILE,
+            chunk=64, interpret=True,
+            tile_base=jnp.asarray([base], jnp.int32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_b), np.asarray(rgb_full)[base : base + count],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_b), np.asarray(t_full)[base : base + count],
+            atol=1e-6,
+        )
+        # xla path too
+        rgb_x, t_x = tiled_xla.composite_tiles_xla(
+            pay,
+            bins._replace(
+                tile_offsets=bins.tile_offsets[base : base + count],
+                tile_counts=bins.tile_counts[base : base + count],
+            ),
+            ntx, nty, TILE, 1024, chunk=32,
+            tile_base=jnp.asarray(base, jnp.int32), num_tiles_local=count,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_x), np.asarray(rgb_full)[base : base + count],
+            atol=1e-5,
+        )
