@@ -36,6 +36,11 @@ class TrainerConfig:
     process_id: int = -1  # -1 = auto
     log_losses: bool = True
     debug_nans: bool = False  # jax_debug_nans (reference anomaly detection)
+    # metric sinks (reference trainer.yaml loggers + base.py:293): "csv"
+    # always writes the train/val CSVs; "wandb" streams scalars when the
+    # package is importable (warns and degrades to csv-only otherwise);
+    # "jsonl" appends one JSON event per log step (offline TB-style feed)
+    loggers: Tuple[str, ...] = ("csv",)
 
 
 @dataclasses.dataclass

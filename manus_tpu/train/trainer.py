@@ -45,6 +45,49 @@ class MetricsCSV:
             csv.writer(f).writerow(row)
 
 
+class ScalarLoggers:
+    """Pluggable scalar sinks (reference loggers config, base.py:293):
+    wandb when requested AND importable; jsonl as the offline
+    TB-style event stream. CSV stays the Trainer's own MetricsCSV."""
+
+    def __init__(self, names, out_dir: str, run_name: str, config: dict,
+                 log=print):
+        self.wandb = None
+        self.jsonl = None
+        if "wandb" in names:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(
+                    project="manus_tpu", name=run_name, config=config,
+                    dir=out_dir,
+                )
+            except Exception as e:  # package absent / offline
+                log(f"[loggers] wandb unavailable ({e}); csv/jsonl only")
+        if "jsonl" in names:
+            os.makedirs(os.path.join(out_dir, "logs"), exist_ok=True)
+            self.jsonl = open(
+                os.path.join(out_dir, "logs", "events.jsonl"), "a"
+            )
+
+    def log_scalars(self, step: int, scalars: dict):
+        if self.wandb is not None:
+            self.wandb.log(scalars, step=step)
+        if self.jsonl is not None:
+            import json
+
+            self.jsonl.write(
+                json.dumps({"step": step, **scalars}) + "\n"
+            )
+            self.jsonl.flush()
+
+    def close(self):
+        if self.wandb is not None:
+            self.wandb.finish()
+        if self.jsonl is not None:
+            self.jsonl.close()
+
+
 class Trainer:
     """Single-workload trainer (object or hand)."""
 
@@ -125,6 +168,12 @@ class Trainer:
         self.train_csv = MetricsCSV(
             os.path.join(self.out_dir, "logs", "train_metrics.csv"),
             ["step", "loss", "psnr", "num_active", "iters_per_s"],
+        )
+        from manus_tpu.config import config_to_dict
+
+        self.loggers = ScalarLoggers(
+            cfg.trainer.loggers, self.out_dir, cfg.trainer.exp_name,
+            config_to_dict(cfg),
         )
         self._rng = np.random.RandomState(cfg.trainer.seed)
         self.bg = (
@@ -234,6 +283,16 @@ class Trainer:
                     [step, last_loss, float(metrics["psnr"]),
                      int(metrics["num_active"]), round(ips, 2)]
                 )
+                scalars = dict(
+                    loss=last_loss, psnr=float(metrics["psnr"]),
+                    num_active=int(metrics["num_active"]), iters_per_s=ips,
+                )
+                if cfg.trainer.log_losses:
+                    scalars.update(
+                        {k: float(v) for k, v in metrics.items()
+                         if k.startswith("loss/")}
+                    )
+                self.loggers.log_scalars(step, scalars)
                 log(
                     f"step {step}: loss={last_loss:.5f} "
                     f"psnr={float(metrics['psnr']):.2f} "
@@ -345,6 +404,12 @@ class Trainer:
             f"[val] step {step}: psnr={np.mean(psnrs):.2f} "
             f"ssim={np.mean(ssims):.4f} lpips={np.mean(lpipss):.4f} "
             f"t={np.mean(times)*1e3:.1f}ms ovf={int(np.max(ovfs))}"
+        )
+        self.loggers.log_scalars(
+            step,
+            {"val/psnr": float(np.mean(psnrs)),
+             "val/ssim": float(np.mean(ssims)),
+             "val/lpips": float(np.mean(lpipss))},
         )
         return np.mean(psnrs)
 
