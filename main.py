@@ -509,7 +509,18 @@ def main(argv=None):
         cfg.trainer.checkpoint_every = 0
         cfg.trainer.mode = "train"
 
-    if cfg.trainer.mode == "render_path":
+    if cfg.trainer.mode == "make_path":
+        # in-repo camera-path generation (reference does this offline in
+        # Blender, bl_render.py); writes the pkl contract render_path /
+        # composite consume
+        from manus_tpu.utils.io import generate_camera_path
+
+        out = generate_camera_path(
+            cfg.camera_path, num_frames=cfg.render_frames,
+            width=cfg.dataset.width, height=cfg.dataset.height,
+        )
+        print(f"wrote camera path: {out}")
+    elif cfg.trainer.mode == "render_path":
         run_render_path(cfg, out_dir)
     elif cfg.workload == "composite":
         run_composite(cfg, out_dir)

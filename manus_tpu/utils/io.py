@@ -112,6 +112,53 @@ def concat_images(*imgs, axis: int = 1):
     return np.concatenate([np.asarray(i) for i in imgs], axis=axis)
 
 
+def generate_camera_path(
+    out_path: str,
+    num_frames: int = 60,
+    center=(0.0, 0.0, 0.0),
+    dist: float = 2.0,
+    elevation_deg: float = 30.0,
+    fov_deg: float = 50.0,
+    width: int = 1080,
+    height: int = 1080,
+    spiral: float = 0.0,  # elevation sweep over the orbit (deg)
+):
+    """Generate an orbiting camera path and write it in the Blender pkl
+    contract ({intrs: [(fx,fy,cx,cy)], extrs: [[3,4]]}) that
+    load_camera_path / the test datasets consume.
+
+    The reference produces these offline in Blender (bl_render.py); this
+    is the in-repo generator for new paths (orbit or spiral around a
+    look-at center), matching the look-at convention of the BRICS-style
+    rigs (data/synthetic.hemisphere_cameras).
+    """
+    center = np.asarray(center, np.float64)
+    f = width / (2 * np.tan(np.radians(fov_deg) / 2))
+    intr = (f, f, (width - 1) / 2.0, (height - 1) / 2.0)
+    intrs, extrs = [], []
+    for i in range(num_frames):
+        theta = 2 * np.pi * i / num_frames
+        phi = np.radians(elevation_deg + spiral * i / max(num_frames - 1, 1))
+        pos = center + dist * np.array(
+            [np.cos(theta) * np.cos(phi), np.sin(phi),
+             np.sin(theta) * np.cos(phi)]
+        )
+        fwd = center - pos
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right) + 1e-9
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], axis=0)
+        t = -R @ pos
+        intrs.append(intr)
+        extrs.append(np.concatenate([R, t[:, None]], axis=1))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "wb") as fh:
+        pickle.dump({"intrs": intrs, "extrs": extrs}, fh)
+    return out_path
+
+
 def load_camera_path(path: str, width: int, height: int):
     """Load a Blender camera-path pkl ({intrs: [...], extrs: [...]}) into a
     list of Camera objects (reference data/camera_paths contract)."""

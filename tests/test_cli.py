@@ -147,3 +147,36 @@ def test_cli_test_modes(cli_out, tmp_path):
     assert os.path.exists(
         os.path.join(base, "test_cano_mode", "results", "test_cano.mp4")
     )
+
+
+def test_cli_make_path_roundtrip(cli_out, tmp_path):
+    """In-repo camera-path generation (reference bl_render.py's role):
+    make_path writes the pkl contract and render_path consumes it."""
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    path = str(tmp_path / "orbit.pkl")
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "trainer.mode=make_path", "render_frames=4",
+        f"camera_path={path}", "trainer.exp_name=mkpath",
+        f"trainer.output_dir={cli_out}",
+    ])
+    assert os.path.exists(path)
+    from manus_tpu.utils.io import load_camera_path
+
+    cams = load_camera_path(path, 64, 64)
+    assert len(cams) == 4
+    # orbit cameras all look at the origin from the same distance
+    centers = np.stack([np.asarray(c.camera_center) for c in cams])
+    np.testing.assert_allclose(
+        np.linalg.norm(centers, axis=1), 2.0, atol=1e-5
+    )
+    main_mod.main([
+        "--config-name", "HAND_GAUSSIAN", *COMMON,
+        "trainer.mode=render_path", "render_frames=2",
+        "trainer.exp_name=mkpath_render", f"trainer.output_dir={cli_out}",
+        f"camera_path={path}",
+        f"render_ckpt_dir={base}/hand/checkpoints",
+    ])
+    assert os.path.exists(
+        os.path.join(base, "mkpath_render", "results", "novel_path.mp4")
+    )
