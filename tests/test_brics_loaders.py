@@ -218,3 +218,54 @@ def test_dynamic_loader_multi_action(fake_dynamic_h5, tmp_path):
     batch = ds.get_batch(5, np.asarray([0]))
     assert batch["rgb"].shape == (1, H, W, 3)
     assert len(ds.bones_posed) == 6
+
+
+@pytest.fixture(scope="module")
+def fake_synced_dir(tmp_path_factory):
+    """Raw BRICS capture layout: root/<cam>/<cam>.avi, 5 frames each,
+    frame i a solid (i*40) gray so seeks are value-checkable (MJPG is
+    lossy; tolerance below)."""
+    root = tmp_path_factory.mktemp("synced")
+    for cam in ("cam000", "cam001", "imu_stream"):
+        d = root / cam
+        os.makedirs(d)
+        if cam.startswith("imu"):
+            continue
+        vw = cv2.VideoWriter(str(d / f"{cam}.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 30, (W, H))
+        assert vw.isOpened()
+        for i in range(5):
+            vw.write(np.full((H, W, 3), i * 40, np.uint8))
+        vw.release()
+    return str(root)
+
+
+def test_video_reader(fake_synced_dir):
+    from manus_tpu.data.reader import VideoReader
+
+    reader = VideoReader(fake_synced_dir)
+    assert len(reader) == 2  # imu dir skipped
+    assert reader.frame_count == 5
+    frames = reader.get_frames(3)
+    assert set(frames) == {"cam000", "cam001"}
+    for f in frames.values():
+        assert f.shape == (H, W, 3)
+        assert abs(float(f.mean()) - 120.0) < 8.0
+    # iterator protocol: sorted indices, stops past the end
+    seen = [fno for _, fno in reader([4, 0, 99])]
+    assert seen == [0, 4]
+    reader.release()
+
+
+def test_video_reader_selected_and_extract(fake_synced_dir, tmp_path):
+    from manus_tpu.data.reader import VideoReader, extract_frames
+
+    reader = VideoReader(fake_synced_dir, selected_cams=("cam001",))
+    assert set(reader.streams) == {"cam001"}
+    reader.release()
+
+    out = tmp_path / "frames"
+    n = extract_frames(fake_synced_dir, str(out), frame_ids=[1, 2])
+    assert n == 4  # 2 cams x 2 frames
+    img = cv2.imread(str(out / "cam000" / "000002.png"))
+    assert img is not None and abs(float(img.mean()) - 80.0) < 8.0
