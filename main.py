@@ -520,6 +520,18 @@ def main(argv=None):
             width=cfg.dataset.width, height=cfg.dataset.height,
         )
         print(f"wrote camera path: {out}")
+    elif cfg.trainer.mode == "eval_contacts":
+        # three-way contact eval table over an existing composite run
+        # (reference eval.sh -> get_iou{,_ours}.py)
+        from manus_tpu.train.evaluate import evaluate_composite
+
+        scores = evaluate_composite(
+            out_dir,
+            os.path.join(cfg.gt_contact_dir, "gt_contacts_seg"),
+            os.path.join(cfg.gt_contact_dir, "gt_contacts"),
+        )
+        for m, s in scores.items():
+            print(f"[eval] {m}: iou={s['iou']:.3f} f1={s['f1']:.3f}")
     elif cfg.trainer.mode == "render_path":
         run_render_path(cfg, out_dir)
     elif cfg.workload == "composite":

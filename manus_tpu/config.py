@@ -113,6 +113,9 @@ class ExperimentConfig:
     optimize_object: bool = False
     finetune_steps: int = 500
     checkpoint: Optional[str] = None
+    # contact evaluation (trainer.mode=eval_contacts): directory holding
+    # gt_contacts_seg/ (binary masks) + gt_contacts/ (RGBA photos)
+    gt_contact_dir: str = ""
     # novel-view rendering (trainer.mode=render_path)
     camera_path: str = "/root/reference/data/camera_paths/real.pkl"
     render_ckpt_dir: str = ""

@@ -225,3 +225,193 @@ def aggregate_subject_csvs(csv_paths: list[str], out_csv: str) -> dict:
         for k, v in summary.items():
             w.writerow([k, v])
     return summary
+
+
+def evaluate_metric(
+    skin_labels: np.ndarray,  # [H, W] int labels in [0, B]
+    gt_mask: np.ndarray,
+    pred_mask: np.ndarray,
+    n_bones: int = 16,
+):
+    """Per-bone + combined IoU/F1 for one method on one frame (reference
+    evaluate_metric + calculate_per_bone_iou, get_iou.py:189-232).
+    Returns (iou[B], f1[B], iou_combined, f1_combined)."""
+    iou_b, f1_b = per_bone_iou_f1(skin_labels, gt_mask, pred_mask, n_bones)
+    iou, f1 = contact_iou_f1(np.asarray(pred_mask), np.asarray(gt_mask))
+    return iou_b, f1_b, float(iou), float(f1)
+
+
+def blend_masks(
+    rgb: np.ndarray,  # [H, W, 3] float [0,1]
+    alpha: np.ndarray,  # [H, W, 1] 0/1 hand silhouette
+    mask: np.ndarray,  # [H, W] binary contact
+    weight: float = 0.5,
+    color=(0.0, 0.5, 0.0),
+) -> np.ndarray:
+    """Green contact overlay on a white-backgrounded photo (reference
+    blend_masks, get_iou_ours.py:269-277)."""
+    overlay = mask[..., None] * np.asarray(color, np.float32)
+    final = rgb * weight + (1.0 - weight) * overlay
+    return final * alpha + (1.0 - alpha) * 1.0
+
+
+def combine_images(
+    rgba: np.ndarray,  # [H, W, 4] uint8 photo with alpha silhouette
+    gt_mask: np.ndarray,  # [H, W] binary
+    method_masks: "dict[str, np.ndarray]",
+) -> np.ndarray:
+    """One collage row: [photo | gt blend | per-method blends] as uint8
+    (reference combine_images, get_iou.py:277-296)."""
+    alpha = (rgba[..., -1:] > 128).astype(np.float32)
+    rgb = rgba[..., :3].astype(np.float32) / 255.0
+    panels = [rgb * alpha + (1.0 - alpha) * 1.0,
+              blend_masks(rgb, alpha, np.asarray(gt_mask, np.float32))]
+    for m in method_masks.values():
+        panels.append(blend_masks(rgb, alpha, np.asarray(m, np.float32)))
+    row = np.concatenate(panels, axis=1)
+    return np.clip(row * 255.0, 0, 255).astype(np.uint8)
+
+
+def write_eval_table(
+    out_csv: str,
+    iou_rows: "dict[str, np.ndarray]",  # method -> [B+1] (bones..., combined)
+    f1_rows: "dict[str, np.ndarray]",
+    n_bones: int = 16,
+) -> None:
+    """eval_metric.csv in the reference shape (get_iou.py:366-378):
+    header ["", bone1..boneB, combined], one row per method, then the
+    matching `<method>_f1` rows, all rounded to 3 decimals."""
+    os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([""] + [f"bone{i + 1}" for i in range(n_bones)]
+                   + ["combined"])
+        for name, row in iou_rows.items():
+            w.writerow([name] + np.around(np.asarray(row, float), 3).tolist())
+        for name, row in f1_rows.items():
+            w.writerow([f"{name}_f1"]
+                       + np.around(np.asarray(row, float), 3).tolist())
+
+
+def evaluate_composite(
+    exp_dir: str,
+    gt_seg_dir: str,
+    gt_img_dir: str,
+    n_bones: int = 16,
+    mask_threshold: float = 0.5,
+) -> dict:
+    """Three-way contact evaluation table over a composite run's outputs
+    (reference get_iou.py / get_iou_ours.py main):
+
+      ours renders:  {exp_dir}/results/eval_results/ours/*.png — the
+        acc_gt_eval side-by-side layout [skin-weight colors | accumulated
+        contact] produced by run_composite;
+      baselines:     {exp_dir}/results/eval_results/{mano,harp}/
+        acc_eval_rendered/*.png — plain contact renders (train/baselines.py
+        mano_baseline_contacts output), included when present;
+      ground truth:  gt_seg_dir/*.png binary contact masks + gt_img_dir/
+        *.png RGBA photos (alpha = hand silhouette), same basenames.
+
+    Writes results/eval_results/eval_metric.csv (per-bone + combined
+    IoU/F1 rows per method, frame-averaged) and eval_collage.png, and
+    returns {method: {"iou": ..., "f1": ...}} combined scores.
+    """
+    import cv2
+
+    res_dir = os.path.join(exp_dir, "results", "eval_results")
+    ours_dir = os.path.join(res_dir, "ours")
+    names = sorted(
+        f for f in os.listdir(ours_dir)
+        if f.endswith(".png")
+        and os.path.exists(os.path.join(gt_seg_dir, f))
+        and os.path.exists(os.path.join(gt_img_dir, f))
+    )
+    if not names:
+        raise FileNotFoundError(
+            f"no matching (ours, gt_seg, gt_img) PNG triples between "
+            f"{ours_dir} and {gt_seg_dir}"
+        )
+    methods = ["ours"] + [
+        m for m in ("mano", "harp")
+        if os.path.isdir(os.path.join(res_dir, m, "acc_eval_rendered"))
+    ]
+
+    acc_iou = {m: [] for m in methods}
+    acc_f1 = {m: [] for m in methods}
+    collage = []
+    for name in names:
+        gt_rgba = cv2.cvtColor(
+            cv2.imread(os.path.join(gt_img_dir, name), cv2.IMREAD_UNCHANGED),
+            cv2.COLOR_BGRA2RGBA,
+        )
+        gt_mask = (
+            cv2.imread(os.path.join(gt_seg_dir, name), cv2.IMREAD_GRAYSCALE)
+            > 255 * mask_threshold
+        )
+        ours_img = cv2.cvtColor(
+            cv2.imread(os.path.join(ours_dir, name)), cv2.COLOR_BGR2RGB
+        )
+        half = ours_img.shape[1] // 2
+        skin_img, ours_contact = ours_img[:, :half], ours_img[:, half:]
+        skin_labels = skin_bone_masks(skin_img, gt_rgba[..., -1] > 128)
+
+        masks = {"ours": ours_contact.mean(axis=-1) > 255 * mask_threshold}
+        for m in methods[1:]:
+            img = cv2.imread(
+                os.path.join(res_dir, m, "acc_eval_rendered", name),
+                cv2.IMREAD_GRAYSCALE,
+            )
+            masks[m] = img > 255 * mask_threshold
+        for m in methods:
+            iou_b, f1_b, iou, f1 = evaluate_metric(
+                skin_labels, gt_mask, masks[m], n_bones
+            )
+            acc_iou[m].append(np.concatenate([iou_b, [iou]]))
+            acc_f1[m].append(np.concatenate([f1_b, [f1]]))
+        collage.append(combine_images(gt_rgba, gt_mask, masks))
+
+    # frame-average; per-bone NaNs (bone never in contact) excluded like
+    # the reference's fillna(0) downstream
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN bones
+        iou_rows = {m: np.nan_to_num(np.nanmean(acc_iou[m], axis=0))
+                    for m in methods}
+        f1_rows = {m: np.nan_to_num(np.nanmean(acc_f1[m], axis=0))
+                   for m in methods}
+    write_eval_table(
+        os.path.join(res_dir, "eval_metric.csv"), iou_rows, f1_rows, n_bones
+    )
+    cv2.imwrite(
+        os.path.join(res_dir, "eval_collage.png"),
+        cv2.cvtColor(np.vstack(collage), cv2.COLOR_RGB2BGR),
+    )
+    return {
+        m: dict(iou=float(iou_rows[m][-1]), f1=float(f1_rows[m][-1]))
+        for m in methods
+    }
+
+
+def aggregate_eval_tables(csv_paths: "list[str]", out_csv: Optional[str] = None) -> dict:
+    """Average eval_metric.csv rows key-wise across grasp sequences
+    (reference get_evaluation_numbers_ours.py): returns
+    {row_name: averaged values[B+1]} over the CSVs that exist."""
+    sums: dict = {}
+    count = 0
+    for path in csv_paths:
+        if not os.path.exists(path):
+            continue
+        count += 1
+        with open(path) as f:
+            rows = list(csv.reader(f))
+        for row in rows[1:]:
+            vals = np.nan_to_num(np.asarray(row[1:], float))
+            sums[row[0]] = sums.get(row[0], 0.0) + vals
+    avg = {k: v / max(count, 1) for k, v in sums.items()}
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            for k, v in avg.items():
+                w.writerow([k] + np.around(v, 3).tolist())
+    return avg

@@ -165,3 +165,70 @@ def test_keypoint_2d_visualization():
     )
     assert strip.shape == (64, 128, 3)
     assert strip.sum() > 0
+
+
+def test_three_way_eval_table(tmp_path):
+    """evaluate_composite over a synthetic fixture: ours = perfect
+    contact, mano = half-covered contact -> eval_metric.csv with per-bone
+    + combined rows (reference get_iou.py table shape)."""
+    from manus_tpu.train.evaluate import (
+        BONE_COLORS, aggregate_eval_tables, evaluate_composite,
+    )
+
+    H = W = 64
+    res = tmp_path / "exp" / "results" / "eval_results"
+    ours_dir = res / "ours"
+    mano_dir = res / "mano" / "acc_eval_rendered"
+    gt_root = tmp_path / "gt"
+    seg_dir = gt_root / "gt_contacts_seg"
+    img_dir = gt_root / "gt_contacts"
+    for d in (ours_dir, mano_dir, seg_dir, img_dir):
+        os.makedirs(d)
+
+    # hand silhouette: two bone-colored rects
+    skin = np.zeros((H, W, 3), np.uint8)
+    skin[8:32, 8:56] = BONE_COLORS[0].astype(np.uint8)
+    skin[32:56, 8:56] = BONE_COLORS[1].astype(np.uint8)
+    alpha = np.zeros((H, W), np.uint8)
+    alpha[8:56, 8:56] = 255
+
+    gt_contact = np.zeros((H, W), np.uint8)
+    gt_contact[16:28, 16:48] = 255  # inside bone-1 region
+
+    ours_contact = np.repeat(gt_contact[:, :, None], 3, axis=-1)  # perfect
+    mano_contact = np.zeros((H, W), np.uint8)
+    mano_contact[16:28, 16:32] = 255  # half coverage
+
+    ours_img = np.concatenate([skin, ours_contact], axis=1)
+    for name in ("0000.png", "0001.png"):
+        cv2.imwrite(str(ours_dir / name),
+                    cv2.cvtColor(ours_img, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(mano_dir / name), mano_contact)
+        cv2.imwrite(str(seg_dir / name), gt_contact)
+        rgba = np.dstack([skin[..., 2], skin[..., 1], skin[..., 0], alpha])
+        cv2.imwrite(str(img_dir / name), rgba)
+
+    scores = evaluate_composite(str(tmp_path / "exp"), str(seg_dir),
+                                str(img_dir))
+    assert set(scores) == {"ours", "mano"}
+    assert scores["ours"]["iou"] > 0.99 and scores["ours"]["f1"] > 0.99
+    assert 0.4 < scores["mano"]["iou"] < 0.6  # half-covered square
+    assert abs(scores["mano"]["f1"] - 2 / 3) < 0.05
+
+    # table shape + per-bone attribution: contact lives in bone 1 only
+    csv_path = res / "eval_metric.csv"
+    with open(csv_path) as f:
+        import csv as csv_mod
+
+        rows = {r[0]: r[1:] for r in csv_mod.reader(f)}
+    assert rows[""] == [f"bone{i + 1}" for i in range(16)] + ["combined"]
+    assert set(rows) == {"", "ours", "mano", "ours_f1", "mano_f1"}
+    ours_row = np.asarray(rows["ours"], float)
+    assert ours_row[0] > 0.99  # bone1 carries the contact
+    assert np.all(ours_row[1:16] == 0.0)
+    assert (res / "eval_collage.png").exists()
+    collage = cv2.imread(str(res / "eval_collage.png"))
+    assert collage.shape == (2 * H, 4 * W, 3)  # photo|gt|ours|mano x2
+
+    avg = aggregate_eval_tables([str(csv_path), str(csv_path)])
+    assert abs(avg["mano"][-1] - scores["mano"]["iou"]) < 1e-6
