@@ -182,3 +182,69 @@ def load_camera_path(path: str, width: int, height: int):
             extr = extr[:3]
         cams.append(make_camera(K, extr, width, height))
     return cams
+
+
+def dump_lineset(path: str, points, edges, colors=None):
+    """Write a line set as binary little-endian PLY with vertex + edge
+    elements (viewable in MeshLab/CloudCompare — the open3d-free stand-in
+    for the reference's o3d.geometry.LineSet, vis_cameras.py:7-24).
+
+    points [P, 3] float; edges [E, 2] int vertex indices; colors
+    optional [E, 3] per-edge RGB in [0,1] or [0,255]."""
+    import struct
+
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    edg = np.asarray(edges, np.int32).reshape(-1, 2)
+    has_color = colors is not None
+    if has_color:
+        cols = np.asarray(colors, np.float32).reshape(-1, 3)
+        if cols.max() <= 1.0 + 1e-6:
+            cols = cols * 255
+        cols = np.clip(cols, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        header = [
+            "ply", "format binary_little_endian 1.0",
+            f"element vertex {len(pts)}",
+            "property float x", "property float y", "property float z",
+            f"element edge {len(edg)}",
+            "property int vertex1", "property int vertex2",
+        ]
+        if has_color:
+            header += ["property uchar red", "property uchar green",
+                       "property uchar blue"]
+        header.append("end_header")
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        for p in pts:
+            f.write(struct.pack("<fff", *p))
+        for i, e in enumerate(edg):
+            f.write(struct.pack("<ii", *e))
+            if has_color:
+                f.write(struct.pack("<BBB", *cols[i]))
+
+
+def load_lineset(path: str):
+    """Read back a dump_lineset PLY -> (points, edges, edge_colors|None)."""
+    import struct
+
+    with open(path, "rb") as f:
+        n_v = n_e = 0
+        has_color = False
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element edge"):
+                n_e = int(line.split()[-1])
+            elif line == "property uchar red":
+                has_color = True
+            elif line == "end_header":
+                break
+        pts = np.frombuffer(f.read(12 * n_v), "<f4").reshape(n_v, 3)
+        edges, cols = [], []
+        for _ in range(n_e):
+            edges.append(struct.unpack("<ii", f.read(8)))
+            if has_color:
+                cols.append(struct.unpack("<BBB", f.read(3)))
+    return (pts, np.asarray(edges, np.int32),
+            np.asarray(cols, np.uint8) if has_color else None)

@@ -86,3 +86,75 @@ def visualize_ik_overlay(
             plot_keypoints_2d(joints, images[v], proj_mats[v], kintree)
         )
     return np.concatenate(panels, axis=1)
+
+
+def camera_frustum(
+    world_view_transform: np.ndarray,  # [4, 4] row-vector extr^T
+    tanfovx: float,
+    tanfovy: float,
+    frustum_length: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Frustum wireframe for one camera: 5 world-space points (origin +
+    4 image-corner rays at `frustum_length`) and 8 connecting edges
+    (reference get_camera_frustum_opengl_coord, vis_cameras.py:27-57 —
+    here in our raster's OpenCV-style camera space, +z forward, using the
+    row-vector world_view_transform our Camera pytree carries)."""
+    wvt = np.asarray(world_view_transform, np.float64)
+    L = float(frustum_length)
+    hw, hh = L * float(tanfovx), L * float(tanfovy)
+    cam_pts = np.array(
+        [
+            [0.0, 0.0, 0.0, 1.0],
+            [-hw, -hh, L, 1.0],  # top-left image corner
+            [hw, -hh, L, 1.0],   # top-right
+            [hw, hh, L, 1.0],    # bottom-right
+            [-hw, hh, L, 1.0],   # bottom-left
+        ]
+    )
+    # p_cam = p_world @ wvt  =>  p_world = p_cam @ inv(wvt)
+    world = cam_pts @ np.linalg.inv(wvt)
+    world = world[:, :3] / world[:, 3:4]
+    edges = np.array(
+        [[0, i] for i in range(1, 5)]
+        + [[i, i + 1] for i in range(1, 4)]
+        + [[4, 1]]
+    )
+    return world.astype(np.float32), edges.astype(np.int32)
+
+
+def visualize_camera_rig(
+    cameras,
+    path: str,
+    frustum_length: float = 0.5,
+    color=(29 / 255.0, 53 / 255.0, 87 / 255.0),
+    colors: Optional[np.ndarray] = None,  # [N, 3] per-camera override
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-rig frustum line set -> PLY with vertex+edge elements
+    (reference vis_cameras.py frustums2lineset + draw_camera_frustum_
+    geometry; open3d absent, so the PLY is the viewable artifact).
+
+    `cameras` is a batched Camera pytree ([N, 4, 4] world_view_transform)
+    or a list of single cameras. Returns (points, edges, edge_colors)."""
+    if not isinstance(cameras, (list, tuple)):
+        n = np.asarray(cameras.world_view_transform).shape[0]
+        from manus_tpu.utils.camera import index_camera
+
+        cameras = [index_camera(cameras, i) for i in range(n)]
+    pts_all, edges_all, cols_all = [], [], []
+    for i, cam in enumerate(cameras):
+        pts, edges = camera_frustum(
+            cam.world_view_transform, float(cam.tanfovx),
+            float(cam.tanfovy), frustum_length,
+        )
+        pts_all.append(pts)
+        edges_all.append(edges + 5 * i)
+        c = np.asarray(colors[i] if colors is not None else color,
+                       np.float32)
+        cols_all.append(np.tile(c[None], (8, 1)))
+    points = np.concatenate(pts_all)
+    edges = np.concatenate(edges_all)
+    edge_colors = np.concatenate(cols_all)
+    from manus_tpu.utils.io import dump_lineset
+
+    dump_lineset(path, points, edges, edge_colors)
+    return points, edges, edge_colors

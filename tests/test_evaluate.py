@@ -232,3 +232,39 @@ def test_three_way_eval_table(tmp_path):
 
     avg = aggregate_eval_tables([str(csv_path), str(csv_path)])
     assert abs(avg["mano"][-1] - scores["mano"]["iou"]) < 1e-6
+
+
+def test_camera_rig_lineset(tmp_path):
+    """Frustum geometry: origin at camera_center, corners reproject to
+    the image corners; PLY roundtrip preserves points/edges/colors."""
+    from manus_tpu.data.synthetic import hemisphere_cameras
+    from manus_tpu.utils.io import load_lineset
+    from manus_tpu.utils.vis import visualize_camera_rig
+
+    cams = hemisphere_cameras(4, 64, 48)
+    path = str(tmp_path / "rig.ply")
+    pts, edges, cols = visualize_camera_rig(cams, path, frustum_length=0.3)
+    assert pts.shape == (20, 3) and edges.shape == (32, 2)
+
+    for i in range(4):
+        cam = cams[i]
+        # apex = camera center
+        np.testing.assert_allclose(
+            pts[5 * i], np.asarray(cam.camera_center), atol=1e-4
+        )
+        # corners project to NDC corners at depth 0.3
+        corners_h = np.concatenate(
+            [pts[5 * i + 1: 5 * i + 5], np.ones((4, 1))], axis=1
+        )
+        proj = corners_h @ np.asarray(cam.full_proj_transform)
+        ndc = proj[:, :2] / proj[:, 3:4]
+        np.testing.assert_allclose(
+            np.sort(np.abs(ndc).ravel()), np.ones(8), atol=1e-4
+        )
+        cam_space = corners_h @ np.asarray(cam.world_view_transform)
+        np.testing.assert_allclose(cam_space[:, 2], 0.3, atol=1e-5)
+
+    rpts, redges, rcols = load_lineset(path)
+    np.testing.assert_allclose(rpts, pts, atol=1e-6)
+    np.testing.assert_array_equal(redges, edges)
+    assert rcols.shape == (32, 3)
