@@ -520,6 +520,24 @@ def main(argv=None):
             width=cfg.dataset.width, height=cfg.dataset.height,
         )
         print(f"wrote camera path: {out}")
+    elif cfg.trainer.mode == "make_pose":
+        # in-repo novel-pose generation (reference does this in Blender,
+        # export_novel_pose.py); writes the meta_data pkl contract that
+        # render_path / the synthetic dynamic dataset consume
+        from manus_tpu.data.synthetic import (
+            load_reference_skeleton, procedural_skeleton,
+        )
+        from manus_tpu.preprocess.novel_pose import generate_flexion_sequence
+
+        skel = load_reference_skeleton() or procedural_skeleton()
+        path = cfg.novel_pose_path or os.path.join(out_dir, "novel_pose.pkl")
+        d = generate_flexion_sequence(
+            skel, num_frames=cfg.render_frames, out_path=path
+        )
+        print(
+            f"wrote {d['pose_matrixs'].shape[0]}-frame novel pose "
+            f"({d['rest_matrixs'].shape[0]} bones): {path}"
+        )
     elif cfg.trainer.mode == "eval_contacts":
         # three-way contact eval table over an existing composite run
         # (reference eval.sh -> get_iou{,_ours}.py)

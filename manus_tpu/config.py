@@ -116,6 +116,8 @@ class ExperimentConfig:
     # contact evaluation (trainer.mode=eval_contacts): directory holding
     # gt_contacts_seg/ (binary masks) + gt_contacts/ (RGBA photos)
     gt_contact_dir: str = ""
+    # novel-pose generation (trainer.mode=make_pose): output pkl path
+    novel_pose_path: str = ""
     # novel-view rendering (trainer.mode=render_path)
     camera_path: str = "/root/reference/data/camera_paths/real.pkl"
     render_ckpt_dir: str = ""

@@ -159,3 +159,68 @@ def test_full_pipeline_recovers_motion():
     )
     assert out["ik_losses"].max() < 1e-4
     assert out["angles_smooth"].shape == out["angles"].shape
+
+
+def test_novel_pose_generation(tmp_path):
+    """generate_novel_pose: zero pose == rest; FK consistency of
+    heads/tails; pkl round-trips through load_skeleton; flexion stays
+    within the DOF limits."""
+    import pickle
+
+    from manus_tpu.data.synthetic import load_skeleton, procedural_skeleton
+    from manus_tpu.preprocess.novel_pose import (
+        flexion_eulers, generate_flexion_sequence, generate_novel_pose,
+        interpolate_eulers,
+    )
+
+    skel = procedural_skeleton(num_frames=2)
+    j = len(skel["bnames"])
+
+    # zero eulers -> every posed frame equals rest
+    zero = np.zeros((3, j, 3), np.float32)
+    d = generate_novel_pose(skel, zero)
+    np.testing.assert_allclose(
+        d["pose_matrixs"], np.tile(skel["rest_transforms"][None], (3, 1, 1, 1)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(d["pose_tails"][0], skel["rest_tails"], atol=1e-5)
+
+    # flexed sequence: pkl contract + load_skeleton round trip
+    path = str(tmp_path / "novel_pose.pkl")
+    d = generate_flexion_sequence(skel, num_frames=6, out_path=path)
+    for key in ("bnames", "bnames_parent", "rest_matrixs", "rest_tails",
+                "rest_heads", "pose_matrixs", "pose_tails", "pose_heads",
+                "pose_params", "rest_matrix_world", "pose_matrix_world",
+                "eulers", "root_translation", "root_rotation"):
+        assert key in d, key
+    assert d["pose_matrixs"].shape == (6, j, 4, 4)
+    loaded = load_skeleton(path)
+    np.testing.assert_allclose(loaded["pose_transforms"], d["pose_matrixs"],
+                               atol=1e-6)
+    np.testing.assert_allclose(loaded["pose_tails"], d["pose_tails"],
+                               atol=1e-6)
+
+    # FK consistency: posed tail == pose_matrix applied to rest-local tail
+    rest_T = d["rest_matrixs"]
+    local = np.einsum(
+        "jik,jk->ji", np.linalg.inv(rest_T),
+        np.concatenate([d["rest_tails"], np.ones((j, 1))], axis=1),
+    )
+    posed = np.einsum("fjik,jk->fji", d["pose_matrixs"], local)[..., :3]
+    np.testing.assert_allclose(posed, d["pose_tails"], atol=1e-4)
+    # bones actually moved
+    assert np.abs(d["pose_tails"][1:] - d["pose_tails"][:1]).max() > 1e-3
+
+    # flexion respects limits
+    dof = np.zeros((j, 3), bool); dof[:, 0] = True
+    limits = np.zeros((j, 3, 2), np.float32)
+    limits[..., 0], limits[..., 1] = -0.5, 0.2
+    eul = flexion_eulers(12, dof, limits, amplitude=1.0)
+    assert eul.min() >= -0.5 - 1e-5 and eul.max() <= 0.2 + 1e-5
+    assert np.all(eul[:, :, 1:] == 0)
+
+    # interpolation endpoints hit the keys
+    keys = np.stack([zero[0], eul[3]], axis=0)
+    interp = interpolate_eulers(keys, 5)
+    np.testing.assert_allclose(interp[0], keys[0], atol=1e-6)
+    np.testing.assert_allclose(interp[-1], keys[1], atol=1e-6)
