@@ -99,8 +99,12 @@ def _seg_geometry(start, count, chunk):
     return first, n_chunks, end
 
 
+PREFETCH_DEPTH = 4  # in-flight payload chunk DMAs per kernel walk
+
+
 def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
     n_px = tile * tile
+    depth = PREFETCH_DEPTH
 
     def kernel(
         tbase_ref,  # scalar prefetch [1]: global id of tile block start
@@ -110,8 +114,8 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
         rgb_ref,  # out [1, Px, 3]
         tfin_ref,  # out [1, Px, 1]
         aux_ref,  # out [1, Px, 2]: col 0 = log T at stop, col 1 = k_stop
-        buf,  # VMEM scratch [2, 16, chunk] (double buffered)
-        sem,  # DMA sem [2]
+        buf,  # VMEM scratch [depth, 16, chunk] (multi-buffered)
+        sem,  # DMA sem [depth]
     ):
         t = pl.program_id(0)
         start_seg = offs_ref[t]
@@ -130,9 +134,13 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
                 sem.at[slot],
             )
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma_for(0, 0).start()
+        # keep `depth` chunk loads in flight: per-chunk compute is a few
+        # hundred ns while an HBM DMA's latency is ~1 us, so one-ahead
+        # double buffering leaves the walk latency-bound.
+        jax.lax.fori_loop(
+            0, jnp.minimum(n_chunks, depth),
+            lambda j, c: (dma_for(j, j % depth).start(), c)[1], 0,
+        )
 
         def cond(state):
             k, log_t, _, _ = state
@@ -140,11 +148,7 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
 
         def body(state):
             k, log_t, accum, t_min = state
-            slot = k % 2
-
-            @pl.when(k + 1 < n_chunks)
-            def _():
-                dma_for(k + 1, (k + 1) % 2).start()
+            slot = k % depth
 
             dma_for(k, slot).wait()
             chunk_vals = buf[slot]
@@ -174,6 +178,13 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
                         keepdims=True),
             )
             log_t = logcp[:, chunk - 1 : chunk]
+
+            # refill the slot we just consumed (after the last buf read
+            # above — the DMA overwrites buf[slot])
+            @pl.when(k + depth < n_chunks)
+            def _():
+                dma_for(k + depth, slot).start()
+
             return k + 1, log_t, accum, t_min
 
         init = (
@@ -184,11 +195,13 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
         )
         k, log_t, accum, t_min = jax.lax.while_loop(cond, body, init)
 
-        # early exit leaves the k-th prefetch in flight; drain it so the
-        # semaphore is clean for the next grid program
-        @pl.when(k < n_chunks)
-        def _():
-            dma_for(k, k % 2).wait()
+        # early exit (or loop end) leaves up to `depth` prefetches in
+        # flight; drain them so the semaphores are clean for the next
+        # grid program
+        jax.lax.fori_loop(
+            k, jnp.minimum(k + depth, n_chunks),
+            lambda j, c: (dma_for(j, j % depth).wait(), c)[1], 0,
+        )
 
         rgb_ref[0] = accum
         tfin_ref[0] = t_min
@@ -236,33 +249,73 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
         # gradient routed through T_final's product (bg + direct uses)
         tfin_term = t_final * d_tfin  # [Px, 1]
 
+        def chunk_base(k):
+            return pl.multiple_of((first + k) * chunk, 128)
+
+        def dma_in_for(k, slot):
+            return pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                buf.at[slot], sem_in.at[slot],
+            )
+
+        # Only chunks containing a segment boundary are shared with a
+        # neighboring tile and need the read-modify-write; interior
+        # chunks are exclusively ours and write directly.
+        def edge(k):
+            base = chunk_base(k)
+            return (base < start_seg) | (base + chunk > end_seg)
+
+        def dma_rmw_for(k, slot):
+            return pltpu.make_async_copy(
+                d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                rbuf.at[slot], sem_rmw.at[slot],
+            )
+
+        def dma_out_for(k, slot):
+            return pltpu.make_async_copy(
+                gbuf.at[slot],
+                d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                sem_out.at[slot],
+            )
+
         # reverse walk over the chunks the forward actually processed;
         # chunks beyond k_stop contributed nothing and stay zero (output
-        # is pre-zeroed through the alias).
+        # is pre-zeroed through the alias). Payload loads + RMW reads are
+        # prefetched one chunk ahead and gradient writes drain lazily
+        # (waited two iterations later / at program end), so the walk is
+        # compute-bound instead of serialized on DMA latency. Ordering
+        # safety: all addresses touched within the walk are distinct
+        # chunks, our RMW reads only target chunks we have not written
+        # yet, and cross-program write->read ordering is preserved by the
+        # end-of-program drain (the grid is sequential on a core).
+        k_start = k_stop - 1
+
+        @pl.when(k_stop > 0)
+        def _():
+            dma_in_for(k_start, k_start % 2).start()
+
+            @pl.when(edge(k_start))
+            def _():
+                dma_rmw_for(k_start, k_start % 2).start()
+
         def cond(state):
             return state[0] >= 0
 
         def body(state):
             k, log_t_end, r_carry = state
-            base = pl.multiple_of((first + k) * chunk, 128)
-            dma_in = pltpu.make_async_copy(
-                payload_ref.at[:, pl.ds(base, chunk)], buf, sem_in
-            )
-            dma_in.start()
-            # Only chunks containing a segment boundary are shared with a
-            # neighboring tile and need the read-modify-write; interior
-            # chunks are exclusively ours and write directly.
-            is_edge = (base < start_seg) | (base + chunk > end_seg)
-            dma_rmw = pltpu.make_async_copy(
-                d_payload_ref.at[:, pl.ds(base, chunk)], rbuf, sem_rmw
-            )
+            slot = k % 2
+            is_edge = edge(k)
 
-            @pl.when(is_edge)
+            @pl.when(k >= 1)
             def _():
-                dma_rmw.start()
+                dma_in_for(k - 1, 1 - slot).start()
 
-            dma_in.wait()
-            chunk_vals = buf[:, :]
+                @pl.when(edge(k - 1))
+                def _():
+                    dma_rmw_for(k - 1, 1 - slot).start()
+
+            dma_in_for(k, slot).wait()
+            chunk_vals = buf[slot]
             gpos = (first + k) * chunk + lane
             seg_mask = (gpos >= start_seg) & (gpos < end_seg)
             alpha, g_val, dx, dy, ca, cb, cc, op = _chunk_alpha(
@@ -316,25 +369,38 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
             )
             @pl.when(is_edge)
             def _():
-                dma_rmw.wait()
+                dma_rmw_for(k, slot).wait()
 
-            prev = jnp.where(is_edge, rbuf[:, :], 0.0)
-            gbuf[:, :] = prev + contrib
-            dma_out = pltpu.make_async_copy(
-                gbuf, d_payload_ref.at[:, pl.ds(base, chunk)], sem_out
-            )
-            dma_out.start()
-            dma_out.wait()
+            prev = jnp.where(is_edge, rbuf[slot], 0.0)
+
+            # this gbuf slot was last used for chunk k+2; make sure that
+            # write has landed before overwriting the buffer
+            @pl.when(k + 2 <= k_start)
+            def _():
+                dma_out_for(k + 2, slot).wait()
+
+            gbuf[slot] = prev + contrib
+            dma_out_for(k, slot).start()
 
             r_carry = r_carry + total
             return k - 1, log_t_start, r_carry
 
         init = (
-            k_stop - 1,
+            k_start,
             logt_ref[0],
             jnp.zeros((n_px, 1), jnp.float32),
         )
         jax.lax.while_loop(cond, body, init)
+
+        # drain the last two gradient writes before the next grid program
+        # (whose RMW may read the chunks they target)
+        @pl.when(k_stop >= 1)
+        def _():
+            dma_out_for(0, 0).wait()
+
+        @pl.when(k_stop >= 2)
+        def _():
+            dma_out_for(1, 1).wait()
 
     return kernel
 
@@ -371,8 +437,8 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
                 pl.BlockSpec((1, n_px, 2), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((PREFETCH_DEPTH, NUM_FIELDS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
             ],
         ),
         out_shape=[
@@ -399,12 +465,12 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
             ],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
-                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
-                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
-                pltpu.VMEM((NUM_FIELDS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
+                pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
+                pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((NUM_FIELDS, p_pad), jnp.float32)],
