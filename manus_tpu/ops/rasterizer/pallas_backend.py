@@ -102,7 +102,7 @@ def _seg_geometry(start, count, chunk):
 PREFETCH_DEPTH = 4  # in-flight payload chunk DMAs per kernel walk
 
 
-def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
+def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     n_px = tile * tile
     depth = PREFETCH_DEPTH
 
@@ -111,107 +111,131 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int):
         offs_ref,  # scalar prefetch [T_local]
         cnts_ref,  # scalar prefetch [T_local]
         payload_ref,  # ANY [16, P_budget]
-        rgb_ref,  # out [1, Px, 3]
-        tfin_ref,  # out [1, Px, 1]
-        aux_ref,  # out [1, Px, 2]: col 0 = log T at stop, col 1 = k_stop
+        rgb_ref,  # out [tpp, Px, 3]
+        tfin_ref,  # out [tpp, Px, 1]
+        aux_ref,  # out [tpp, Px, 2]: col 0 = log T at stop, col 1 = k_stop
         buf,  # VMEM scratch [depth, 16, chunk] (multi-buffered)
         sem,  # DMA sem [depth]
     ):
-        t = pl.program_id(0)
-        start_seg = offs_ref[t]
-        count = cnts_ref[t]
-        first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-        # pixel coords use the GLOBAL tile id (tile-sharded composite:
-        # this program handles global tile tbase + t)
-        px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
+        # Each grid program composites `tpp` consecutive tiles: sparse
+        # scenes average ~1 chunk per tile, so per-program dispatch
+        # overhead (not chunk work) dominates a 1-tile grid — batching
+        # tiles amortizes it and reuses the iota/triangular constants.
+        p = pl.program_id(0)
         u_incl = _upper_tri_incl(chunk)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-        def dma_for(k, slot):
-            base = pl.multiple_of((first + k) * chunk, 128)
-            return pltpu.make_async_copy(
-                payload_ref.at[:, pl.ds(base, chunk)], buf.at[slot],
-                sem.at[slot],
+        def tile_body(j, carry):
+            t = p * tpp + j
+            start_seg = offs_ref[t]
+            count = cnts_ref[t]
+            first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
+            # pixel coords use the GLOBAL tile id (tile-sharded composite:
+            # this program handles global tiles tbase + p*tpp + j)
+            px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
+
+            def dma_for(k, slot):
+                base = pl.multiple_of((first + k) * chunk, 128)
+                return pltpu.make_async_copy(
+                    payload_ref.at[:, pl.ds(base, chunk)], buf.at[slot],
+                    sem.at[slot],
+                )
+
+            # keep `depth` chunk loads in flight: per-chunk compute is a
+            # few hundred ns while an HBM DMA's latency is ~1 us, so
+            # one-ahead double buffering leaves the walk latency-bound.
+            jax.lax.fori_loop(
+                0, jnp.minimum(n_chunks, depth),
+                lambda i, c: (dma_for(i, i % depth).start(), c)[1], 0,
             )
 
-        # keep `depth` chunk loads in flight: per-chunk compute is a few
-        # hundred ns while an HBM DMA's latency is ~1 us, so one-ahead
-        # double buffering leaves the walk latency-bound.
-        jax.lax.fori_loop(
-            0, jnp.minimum(n_chunks, depth),
-            lambda j, c: (dma_for(j, j % depth).start(), c)[1], 0,
-        )
+            def cond(state):
+                k, log_t, _, _ = state
+                return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
 
-        def cond(state):
-            k, log_t, _, _ = state
-            return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
+            def body(state):
+                k, log_t, accum, t_min = state
+                slot = k % depth
 
-        def body(state):
-            k, log_t, accum, t_min = state
-            slot = k % depth
+                dma_for(k, slot).wait()
+                chunk_vals = buf[slot]
+                gpos = (first + k) * chunk + lane
+                seg_mask = (gpos >= start_seg) & (gpos < end_seg)
+                alpha, _, _, _, _, _, _, _ = _chunk_alpha(
+                    chunk_vals, px, py, seg_mask
+                )
+                log1m = jnp.log1p(-alpha)
+                # inclusive prefix sum along the chunk axis on the MXU
+                csum = jax.lax.dot_general(
+                    log1m, u_incl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )
+                logcp = log_t + csum  # [Px, G]
+                t_bef = jnp.exp(logcp - log1m)
+                incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
+                w = jnp.where(incl, alpha * t_bef, 0.0)
+                # color accumulation on the VPU: a [Px,G]x[G,3] matmul
+                # pads its 3-wide output to the full MXU tile (measured
+                # slower than three lane reductions)
+                accum = accum + jnp.concatenate(
+                    [
+                        jnp.sum(
+                            w * chunk_vals[F_R + c : F_R + c + 1, :],
+                            axis=1, keepdims=True,
+                        )
+                        for c in range(3)
+                    ],
+                    axis=1,
+                )  # [Px, 3]
+                # exp(logcp) == t_bef * (1 - alpha) — reuse instead of a
+                # second [Px,G] transcendental
+                t_min = jnp.minimum(
+                    t_min,
+                    jnp.min(
+                        jnp.where(incl, t_bef * (1.0 - alpha), 1.0), axis=1,
+                        keepdims=True,
+                    ),
+                )
+                log_t = logcp[:, chunk - 1 : chunk]
 
-            dma_for(k, slot).wait()
-            chunk_vals = buf[slot]
-            gpos = (first + k) * chunk + lane
-            seg_mask = (gpos >= start_seg) & (gpos < end_seg)
-            alpha, _, _, _, _, _, _, _ = _chunk_alpha(
-                chunk_vals, px, py, seg_mask
+                # refill the slot we just consumed (after the last buf
+                # read above — the DMA overwrites buf[slot])
+                @pl.when(k + depth < n_chunks)
+                def _():
+                    dma_for(k + depth, slot).start()
+
+                return k + 1, log_t, accum, t_min
+
+            init = (
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros((n_px, 1), jnp.float32),
+                jnp.zeros((n_px, 3), jnp.float32),
+                jnp.ones((n_px, 1), jnp.float32),
             )
-            log1m = jnp.log1p(-alpha)
-            # inclusive prefix sum along the chunk axis on the MXU
-            csum = jax.lax.dot_general(
-                log1m, u_incl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
+            k, log_t, accum, t_min = jax.lax.while_loop(cond, body, init)
+
+            # early exit (or loop end) leaves up to `depth` prefetches
+            # in flight; drain them so the semaphores are clean for the
+            # next tile walk
+            jax.lax.fori_loop(
+                k, jnp.minimum(k + depth, n_chunks),
+                lambda i, c: (dma_for(i, i % depth).wait(), c)[1], 0,
             )
-            logcp = log_t + csum  # [Px, G]
-            t_bef = jnp.exp(logcp - log1m)
-            incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
-            w = jnp.where(incl, alpha * t_bef, 0.0)
-            colors = chunk_vals[F_R : F_R + 3, :]  # [3, G]
-            accum = accum + jax.lax.dot_general(
-                w, colors, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )  # [Px, 3]
-            t_min = jnp.minimum(
-                t_min,
-                jnp.min(jnp.where(incl, jnp.exp(logcp), 1.0), axis=1,
-                        keepdims=True),
+
+            rgb_ref[j] = accum
+            tfin_ref[j] = t_min
+            aux_ref[j] = jnp.concatenate(
+                [log_t, jnp.full((n_px, 1), 1.0) * k.astype(jnp.float32)],
+                axis=1,
             )
-            log_t = logcp[:, chunk - 1 : chunk]
+            return carry
 
-            # refill the slot we just consumed (after the last buf read
-            # above — the DMA overwrites buf[slot])
-            @pl.when(k + depth < n_chunks)
-            def _():
-                dma_for(k + depth, slot).start()
-
-            return k + 1, log_t, accum, t_min
-
-        init = (
-            jnp.asarray(0, jnp.int32),
-            jnp.zeros((n_px, 1), jnp.float32),
-            jnp.zeros((n_px, 3), jnp.float32),
-            jnp.ones((n_px, 1), jnp.float32),
-        )
-        k, log_t, accum, t_min = jax.lax.while_loop(cond, body, init)
-
-        # early exit (or loop end) leaves up to `depth` prefetches in
-        # flight; drain them so the semaphores are clean for the next
-        # grid program
-        jax.lax.fori_loop(
-            k, jnp.minimum(k + depth, n_chunks),
-            lambda j, c: (dma_for(j, j % depth).wait(), c)[1], 0,
-        )
-
-        rgb_ref[0] = accum
-        tfin_ref[0] = t_min
-        aux_ref[0, :, 0:1] = log_t
-        aux_ref[0, :, 1:2] = jnp.full((n_px, 1), 1.0) * k.astype(jnp.float32)
+        jax.lax.fori_loop(0, tpp, tile_body, 0)
 
     return kernel
 
 
-def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
+def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     n_px = tile * tile
 
     def kernel(
@@ -220,187 +244,215 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int):
         cnts_ref,  # scalar prefetch [T_local]
         kstop_all_ref,  # scalar prefetch [T_local] int32
         payload_ref,  # ANY [16, P_budget]
-        d_rgb_ref,  # in [1, Px, 3]
-        d_tfin_ref,  # in [1, Px, 1]
-        tfin_ref,  # in [1, Px, 1]
-        logt_ref,  # in [1, Px, 1]
+        d_rgb_ref,  # in [tpp, Px, 3]
+        d_tfin_ref,  # in [tpp, Px, 1]
+        tfin_ref,  # in [tpp, Px, 1]
+        logt_ref,  # in [tpp, Px, 1]
         zeros_ref,  # in ANY [16, P_budget] — aliased to d_payload_ref
         d_payload_ref,  # out ANY [16, P_budget]
-        buf,  # VMEM scratch [16, chunk] (payload in)
-        gbuf,  # VMEM scratch [16, chunk] (grads accum/out)
-        rbuf,  # VMEM scratch [16, chunk] (existing grads in, RMW)
+        buf,  # VMEM scratch [2, 16, chunk] (payload in)
+        gbuf,  # VMEM scratch [2, 16, chunk] (grads accum/out)
+        rbuf,  # VMEM scratch [2, 16, chunk] (existing grads in, RMW)
         sem_in,
         sem_out,
         sem_rmw,
     ):
         del zeros_ref  # consumed purely through the aliased output
-        t = pl.program_id(0)
-        start_seg = offs_ref[t]
-        count = cnts_ref[t]
-        k_stop = kstop_all_ref[t]
-        first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-        px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
+        p = pl.program_id(0)
         u_incl = _upper_tri_incl(chunk)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-        d_rgb = d_rgb_ref[0]  # [Px, 3]
-        d_tfin = d_tfin_ref[0]  # [Px, 1]
-        t_final = tfin_ref[0]  # [Px, 1]
-        # gradient routed through T_final's product (bg + direct uses)
-        tfin_term = t_final * d_tfin  # [Px, 1]
+        def tile_body(j, carry):
+            t = p * tpp + j
+            start_seg = offs_ref[t]
+            count = cnts_ref[t]
+            k_stop = kstop_all_ref[t]
+            first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
+            px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
 
-        def chunk_base(k):
-            return pl.multiple_of((first + k) * chunk, 128)
+            d_rgb = d_rgb_ref[j]  # [Px, 3]
+            d_tfin = d_tfin_ref[j]  # [Px, 1]
+            t_final = tfin_ref[j]  # [Px, 1]
+            # gradient routed through T_final's product (bg + direct uses)
+            tfin_term = t_final * d_tfin  # [Px, 1]
 
-        def dma_in_for(k, slot):
-            return pltpu.make_async_copy(
-                payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
-                buf.at[slot], sem_in.at[slot],
-            )
+            def chunk_base(k):
+                return pl.multiple_of((first + k) * chunk, 128)
 
-        # Only chunks containing a segment boundary are shared with a
-        # neighboring tile and need the read-modify-write; interior
-        # chunks are exclusively ours and write directly.
-        def edge(k):
-            base = chunk_base(k)
-            return (base < start_seg) | (base + chunk > end_seg)
+            def dma_in_for(k, slot):
+                return pltpu.make_async_copy(
+                    payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                    buf.at[slot], sem_in.at[slot],
+                )
 
-        def dma_rmw_for(k, slot):
-            return pltpu.make_async_copy(
-                d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
-                rbuf.at[slot], sem_rmw.at[slot],
-            )
+            # Only chunks containing a segment boundary are shared with
+            # a neighboring tile and need the read-modify-write; interior
+            # chunks are exclusively ours and write directly.
+            def edge(k):
+                base = chunk_base(k)
+                return (base < start_seg) | (base + chunk > end_seg)
 
-        def dma_out_for(k, slot):
-            return pltpu.make_async_copy(
-                gbuf.at[slot],
-                d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
-                sem_out.at[slot],
-            )
+            def dma_rmw_for(k, slot):
+                return pltpu.make_async_copy(
+                    d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                    rbuf.at[slot], sem_rmw.at[slot],
+                )
 
-        # reverse walk over the chunks the forward actually processed;
-        # chunks beyond k_stop contributed nothing and stay zero (output
-        # is pre-zeroed through the alias). Payload loads + RMW reads are
-        # prefetched one chunk ahead and gradient writes drain lazily
-        # (waited two iterations later / at program end), so the walk is
-        # compute-bound instead of serialized on DMA latency. Ordering
-        # safety: all addresses touched within the walk are distinct
-        # chunks, our RMW reads only target chunks we have not written
-        # yet, and cross-program write->read ordering is preserved by the
-        # end-of-program drain (the grid is sequential on a core).
-        k_start = k_stop - 1
+            def dma_out_for(k, slot):
+                return pltpu.make_async_copy(
+                    gbuf.at[slot],
+                    d_payload_ref.at[:, pl.ds(chunk_base(k), chunk)],
+                    sem_out.at[slot],
+                )
 
-        @pl.when(k_stop > 0)
-        def _():
-            dma_in_for(k_start, k_start % 2).start()
+            # reverse walk over the chunks the forward actually
+            # processed; chunks beyond k_stop contributed nothing and
+            # stay zero (output is pre-zeroed through the alias).
+            # Payload loads + RMW reads are prefetched one chunk ahead
+            # and gradient writes drain lazily (waited two iterations
+            # later / at walk end), so the walk is compute-bound instead
+            # of serialized on DMA latency. Ordering safety: all
+            # addresses touched within the walk are distinct chunks, our
+            # RMW reads only target chunks we have not written yet, and
+            # cross-walk write->read ordering is preserved by the
+            # end-of-walk drain (tile walks and grid programs are
+            # sequential on a core).
+            k_start = k_stop - 1
 
-            @pl.when(edge(k_start))
+            @pl.when(k_stop > 0)
             def _():
-                dma_rmw_for(k_start, k_start % 2).start()
+                dma_in_for(k_start, k_start % 2).start()
 
-        def cond(state):
-            return state[0] >= 0
-
-        def body(state):
-            k, log_t_end, r_carry = state
-            slot = k % 2
-            is_edge = edge(k)
-
-            @pl.when(k >= 1)
-            def _():
-                dma_in_for(k - 1, 1 - slot).start()
-
-                @pl.when(edge(k - 1))
+                @pl.when(edge(k_start))
                 def _():
-                    dma_rmw_for(k - 1, 1 - slot).start()
+                    dma_rmw_for(k_start, k_start % 2).start()
 
-            dma_in_for(k, slot).wait()
-            chunk_vals = buf[slot]
-            gpos = (first + k) * chunk + lane
-            seg_mask = (gpos >= start_seg) & (gpos < end_seg)
-            alpha, g_val, dx, dy, ca, cb, cc, op = _chunk_alpha(
-                chunk_vals, px, py, seg_mask
-            )
-            log1m = jnp.log1p(-alpha)
-            csum = jax.lax.dot_general(
-                log1m, u_incl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-            chunk_sum = csum[:, chunk - 1 : chunk]
-            log_t_start = log_t_end - chunk_sum
-            logcp = log_t_start + csum
-            t_bef = jnp.exp(logcp - log1m)
-            incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
-            w = jnp.where(incl, alpha * t_bef, 0.0)
+            def cond(state):
+                return state[0] >= 0
 
-            colors = chunk_vals[F_R : F_R + 3, :]  # [3, G]
-            # cd[px, g] = sum_c dL/dC[px, c] * color[c, g]
-            cd = jax.lax.dot_general(
-                d_rgb, colors, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )  # [Px, G]
-            wcd = w * cd
-            total = jnp.sum(wcd, axis=1, keepdims=True)  # [Px, 1]
-            suffix = total - jax.lax.dot_general(
-                wcd, u_incl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )  # sum_{j>g} w_j cd_j within chunk
-            r_g = suffix + r_carry
-            d_alpha = jnp.where(
-                incl,
-                t_bef * cd - (r_g + tfin_term) / (1.0 - alpha),
-                0.0,
+            def body(state):
+                k, log_t_end, r_carry = state
+                slot = k % 2
+                is_edge = edge(k)
+
+                @pl.when(k >= 1)
+                def _():
+                    dma_in_for(k - 1, 1 - slot).start()
+
+                    @pl.when(edge(k - 1))
+                    def _():
+                        dma_rmw_for(k - 1, 1 - slot).start()
+
+                dma_in_for(k, slot).wait()
+                chunk_vals = buf[slot]
+                gpos = (first + k) * chunk + lane
+                seg_mask = (gpos >= start_seg) & (gpos < end_seg)
+                alpha, g_val, dx, dy, ca, cb, cc, op = _chunk_alpha(
+                    chunk_vals, px, py, seg_mask
+                )
+                log1m = jnp.log1p(-alpha)
+                csum = jax.lax.dot_general(
+                    log1m, u_incl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )
+                chunk_sum = csum[:, chunk - 1 : chunk]
+                log_t_start = log_t_end - chunk_sum
+                logcp = log_t_start + csum
+                t_bef = jnp.exp(logcp - log1m)
+                incl = (logcp >= LOG_T_EPS) & (alpha > 0.0)
+                w = jnp.where(incl, alpha * t_bef, 0.0)
+
+                # cd[px, g] = sum_c dL/dC[px, c] * color[c, g] — 3-term
+                # VPU broadcast sum (the MXU form pads the 3-long
+                # contraction)
+                cd = sum(
+                    d_rgb[:, c : c + 1]
+                    * chunk_vals[F_R + c : F_R + c + 1, :]
+                    for c in range(3)
+                )  # [Px, G]
+                wcd = w * cd
+                total = jnp.sum(wcd, axis=1, keepdims=True)  # [Px, 1]
+                suffix = total - jax.lax.dot_general(
+                    wcd, u_incl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )  # sum_{j>g} w_j cd_j within chunk
+                r_g = suffix + r_carry
+                d_alpha = jnp.where(
+                    incl,
+                    t_bef * cd - (r_g + tfin_term) / (1.0 - alpha),
+                    0.0,
+                )
+                # d colors [3, G] = dL/dC^T w — sublane reductions (the
+                # MXU form pads the 3-wide output)
+                d_colors = jnp.concatenate(
+                    [
+                        jnp.sum(
+                            d_rgb[:, c : c + 1] * w, axis=0, keepdims=True
+                        )
+                        for c in range(3)
+                    ],
+                    axis=0,
+                )
+                d_op = jnp.sum(d_alpha * g_val, axis=0, keepdims=True)
+                d_power = d_alpha * op * g_val
+                d_mx = jnp.sum(
+                    d_power * (ca * dx + cb * dy), axis=0, keepdims=True
+                )
+                d_my = jnp.sum(
+                    d_power * (cc * dy + cb * dx), axis=0, keepdims=True
+                )
+                d_ca = jnp.sum(
+                    d_power * (-0.5 * dx * dx), axis=0, keepdims=True
+                )
+                d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+                d_cc = jnp.sum(
+                    d_power * (-0.5 * dy * dy), axis=0, keepdims=True
+                )
+                pad = jnp.zeros((NUM_FIELDS - 9, chunk), jnp.float32)
+                contrib = jnp.concatenate(
+                    [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad],
+                    axis=0,
+                )
+
+                @pl.when(is_edge)
+                def _():
+                    dma_rmw_for(k, slot).wait()
+
+                prev = jnp.where(is_edge, rbuf[slot], 0.0)
+
+                # this gbuf slot was last used for chunk k+2; make sure
+                # that write has landed before overwriting the buffer
+                @pl.when(k + 2 <= k_start)
+                def _():
+                    dma_out_for(k + 2, slot).wait()
+
+                gbuf[slot] = prev + contrib
+                dma_out_for(k, slot).start()
+
+                r_carry = r_carry + total
+                return k - 1, log_t_start, r_carry
+
+            init = (
+                k_start,
+                logt_ref[j],
+                jnp.zeros((n_px, 1), jnp.float32),
             )
-            # d colors [3, G] = dL/dC^T w
-            d_colors = jax.lax.dot_general(
-                d_rgb, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-            d_op = jnp.sum(d_alpha * g_val, axis=0, keepdims=True)  # [1, G]
-            d_power = d_alpha * op * g_val
-            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-            pad = jnp.zeros((NUM_FIELDS - 9, chunk), jnp.float32)
-            contrib = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad], axis=0
-            )
-            @pl.when(is_edge)
+            jax.lax.while_loop(cond, body, init)
+
+            # drain the last two gradient writes before the next tile
+            # walk / grid program (whose RMW may read the chunks they
+            # target)
+            @pl.when(k_stop >= 1)
             def _():
-                dma_rmw_for(k, slot).wait()
+                dma_out_for(0, 0).wait()
 
-            prev = jnp.where(is_edge, rbuf[slot], 0.0)
-
-            # this gbuf slot was last used for chunk k+2; make sure that
-            # write has landed before overwriting the buffer
-            @pl.when(k + 2 <= k_start)
+            @pl.when(k_stop >= 2)
             def _():
-                dma_out_for(k + 2, slot).wait()
+                dma_out_for(1, 1).wait()
 
-            gbuf[slot] = prev + contrib
-            dma_out_for(k, slot).start()
+            return carry
 
-            r_carry = r_carry + total
-            return k - 1, log_t_start, r_carry
-
-        init = (
-            k_start,
-            logt_ref[0],
-            jnp.zeros((n_px, 1), jnp.float32),
-        )
-        jax.lax.while_loop(cond, body, init)
-
-        # drain the last two gradient writes before the next grid program
-        # (whose RMW may read the chunks they target)
-        @pl.when(k_stop >= 1)
-        def _():
-            dma_out_for(0, 0).wait()
-
-        @pl.when(k_stop >= 2)
-        def _():
-            dma_out_for(1, 1).wait()
+        jax.lax.fori_loop(0, tpp, tile_body, 0)
 
     return kernel
 
@@ -417,9 +469,14 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
     [T_local, Px, 3] in XLA) and t_final as [T_local, Px].
     """
     n_px = tile * tile
+    # tiles per grid program: the largest power of two <= 8 dividing
+    # t_local (per-program dispatch overhead dominates sparse scenes)
+    tpp = 1
+    while tpp < 8 and t_local % (tpp * 2) == 0:
+        tpp *= 2
 
-    fwd_kernel = _make_fwd_kernel(ntx, tile, chunk)
-    bwd_kernel = _make_bwd_kernel(ntx, tile, chunk)
+    fwd_kernel = _make_fwd_kernel(ntx, tile, chunk, tpp)
+    bwd_kernel = _make_bwd_kernel(ntx, tile, chunk, tpp)
 
     serial = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
@@ -429,12 +486,12 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
         fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(t_local,),
+            grid=(t_local // tpp,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
-                pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px, 2), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 3), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 2), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((PREFETCH_DEPTH, NUM_FIELDS, chunk), jnp.float32),
@@ -454,13 +511,13 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
         bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(t_local,),
+            grid=(t_local // tpp,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, n_px, 3), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 3), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tpp, n_px, 1), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
