@@ -117,6 +117,55 @@ def run_pipeline(
     )
 
 
+# Finger keypoint groups of the 21-joint halpe hand layout: thumb chain
+# [2..4] then four 4-joint chains; fingertips at every 4th joint.
+# (reference preprocess/scripts/filter_poses.py:44-48)
+_FINGER_IDX = [list(range(2, 5))] + [list(range(i, i + 4)) for i in range(5, 18, 4)]
+_TIP_IDX = [4, 8, 12, 16, 20]
+
+
+def filter_pose_frames(
+    keypoints3d: np.ndarray,  # [F, J, 4] (xyz + confidence)
+    frame_ids: np.ndarray | None = None,  # [F] global ids (default 0..F-1)
+    bin_size: int = 5,
+    ignore_missing_tip: bool = False,
+    start_frame: int = 0,
+) -> list[int]:
+    """Bin-based frame selection (reference filter_poses.py:50-81).
+
+    Walks the sequence in bins of `bin_size` frames and keeps at most one
+    frame per bin: frames missing an entire finger (no keypoint in the
+    chain detected) are rejected, frames missing any fingertip are
+    rejected unless `ignore_missing_tip`, and the survivor with the most
+    detected keypoints wins (ties -> earliest, matching np.argmin).
+    `start_frame` drops leading frames first (the reference's
+    start_frame_for_grasp cut). Returns chosen global frame ids.
+    """
+    kyps = np.asarray(keypoints3d)
+    if frame_ids is None:
+        frame_ids = np.arange(kyps.shape[0])
+    frame_ids = np.asarray(frame_ids)
+    keep = frame_ids >= start_frame
+    kyps, frame_ids = kyps[keep], frame_ids[keep]
+
+    chosen: list[int] = []
+    for i in range(0, kyps.shape[0], bin_size):
+        conf = kyps[i : i + bin_size, :, 3]  # [B, J]
+        to_use = np.ones(conf.shape[0], dtype=bool)
+        for idx in _FINGER_IDX:
+            to_use &= np.any(conf[:, idx], axis=1)
+        if not ignore_missing_tip:
+            to_use &= np.all(conf[:, _TIP_IDX], axis=1)
+            if not np.any(to_use):
+                continue
+        unfound = conf.shape[1] * np.ones(conf.shape[0])
+        unfound[to_use] = np.count_nonzero(
+            np.isclose(conf[to_use], 0.0), axis=1
+        )
+        chosen.append(int(frame_ids[i + int(np.argmin(unfound))]))
+    return chosen
+
+
 def visualize_ik_frames(
     result: dict,
     images: np.ndarray,  # [F, V, H, W, 3] uint8

@@ -224,3 +224,37 @@ def test_novel_pose_generation(tmp_path):
     interp = interpolate_eulers(keys, 5)
     np.testing.assert_allclose(interp[0], keys[0], atol=1e-6)
     np.testing.assert_allclose(interp[-1], keys[1], atol=1e-6)
+
+
+def test_filter_pose_frames():
+    from manus_tpu.preprocess.pipeline import filter_pose_frames
+
+    rng = np.random.default_rng(0)
+    F, J = 15, 21
+    kyps = np.concatenate(
+        [rng.normal(size=(F, J, 3)), np.ones((F, J, 1))], axis=-1
+    )
+    # bin 0 (frames 0-4): frame 2 has one missing non-tip keypoint, others
+    # clean -> frame 0 wins (earliest among equally-complete).
+    kyps[2, 6, 3] = 0.0
+    # bin 1 (frames 5-9): frame 5 missing a fingertip, frame 6 missing one
+    # non-tip keypoint, frame 7 missing an ENTIRE finger -> frame 6 wins
+    # over 8/9? no: 8 and 9 are fully clean -> frame 8 wins.
+    kyps[5, 4, 3] = 0.0
+    kyps[6, 6, 3] = 0.0
+    kyps[7, 5:9, 3] = 0.0
+    kyps[8, 9, 3] = 0.0
+    kyps[9, 9, 3] = 0.0
+    kyps[9, 10, 3] = 0.0
+    # bin 2 (frames 10-14): every frame misses a fingertip -> bin skipped.
+    kyps[10:15, 8, 3] = 0.0
+
+    chosen = filter_pose_frames(kyps, bin_size=5)
+    assert chosen == [0, 6]
+    # with ignore_missing_tip the last bin keeps its most-complete frame,
+    # and frame 5 (missing only a tip) ties frame 6 and wins by position
+    chosen2 = filter_pose_frames(kyps, bin_size=5, ignore_missing_tip=True)
+    assert chosen2 == [0, 5, 10]
+    # start_frame drops leading frames before binning (grasp-sequence cut)
+    chosen3 = filter_pose_frames(kyps, bin_size=5, start_frame=5)
+    assert chosen3[0] == 6
