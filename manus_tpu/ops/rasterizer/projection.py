@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from manus_tpu.utils.camera import Camera
-from manus_tpu.utils.transforms import homogenize_points
 
 FRUSTUM_NEAR_Z = 0.2
 COV2D_DILATION = 0.3
@@ -57,21 +56,29 @@ def project_gaussians(
     focal_x = w / (2.0 * tanfovx)
     focal_y = h / (2.0 * tanfovy)
 
-    hi0 = jax.lax.Precision.HIGHEST
-    p_h = homogenize_points(means3d)  # [N, 4]
-    p_view = jnp.matmul(p_h, camera.world_view_transform, precision=hi0)
-    p_hom = jnp.matmul(p_h, camera.full_proj_transform, precision=hi0)
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    # Row-vector camera transforms in unrolled scalar form: [N,4] @ [4,4]
+    # matmuls pad their 4-wide contraction onto the MXU (and their VJPs
+    # again on the backward); the VPU form is a handful of fused fma rows.
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    WV = camera.world_view_transform  # [4, 4], row-vector convention
+    FP = camera.full_proj_transform
 
-    in_frustum = p_view[:, 2] > FRUSTUM_NEAR_Z
-    depth = p_view[:, 2]
+    def row_xform(M, j):
+        return x * M[0, j] + y * M[1, j] + z * M[2, j] + M[3, j]
+
+    pv_x, pv_y, pv_z = (row_xform(WV, j) for j in range(3))
+    ph = [row_xform(FP, j) for j in range(4)]
+    p_w = 1.0 / (ph[3] + 1e-7)
+    p_proj_x, p_proj_y = ph[0] * p_w, ph[1] * p_w
+
+    in_frustum = pv_z > FRUSTUM_NEAR_Z
+    depth = pv_z
     depth_safe = jnp.where(in_frustum, depth, 1.0)
 
     # EWA: clamp the view-space direction to 1.3x the frustum, then build the
     # 2x3 perspective Jacobian.
-    txtz = jnp.clip(p_view[:, 0] / depth_safe, -1.3 * tanfovx, 1.3 * tanfovx)
-    tytz = jnp.clip(p_view[:, 1] / depth_safe, -1.3 * tanfovy, 1.3 * tanfovy)
+    txtz = jnp.clip(pv_x / depth_safe, -1.3 * tanfovx, 1.3 * tanfovx)
+    tytz = jnp.clip(pv_y / depth_safe, -1.3 * tanfovy, 1.3 * tanfovy)
     tx = txtz * depth_safe
     ty = tytz * depth_safe
     tz = depth_safe
@@ -118,8 +125,8 @@ def project_gaussians(
     # Pixel centers sit at integer coordinates (upstream ndc2Pix).
     means2d = jnp.stack(
         [
-            ((p_proj[:, 0] + 1.0) * w - 1.0) * 0.5,
-            ((p_proj[:, 1] + 1.0) * h - 1.0) * 0.5,
+            ((p_proj_x + 1.0) * w - 1.0) * 0.5,
+            ((p_proj_y + 1.0) * h - 1.0) * 0.5,
         ],
         axis=-1,
     )

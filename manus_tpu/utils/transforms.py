@@ -335,8 +335,23 @@ def covariance_from_scaling_rotation(
 ) -> jax.Array:
     """3D covariance Sigma = (R S)(R S)^T, returned as [N, 6] upper-tri.
 
-    Matches reference gaussian.py:49-53.
+    Matches reference gaussian.py:49-53. Unrolled scalar form: Sigma_ij =
+    sum_k s_k^2 R_ik R_jk — a batched [N,3,3] matmul pads onto the 128x128
+    MXU (defaulting to bf16 inputs) and costs ~1.3 ms at 65k gaussians on
+    v5e; the VPU form is ~50 us and stays fp32.
     """
-    L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    cov = L @ jnp.swapaxes(L, -1, -2)
-    return strip_symmetric(cov)
+    R = build_rotation(rotation)
+    s2 = jnp.square(scaling_modifier * scaling)  # [N, 3]
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+
+    def sig(i, j):
+        return (
+            s0 * R[..., i, 0] * R[..., j, 0]
+            + s1 * R[..., i, 1] * R[..., j, 1]
+            + s2_ * R[..., i, 2] * R[..., j, 2]
+        )
+
+    return jnp.stack(
+        [sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)],
+        axis=-1,
+    )
