@@ -166,6 +166,19 @@ def filter_pose_frames(
     return chosen
 
 
+def sequence_is_faulty(
+    chosen_frames: list[int], last_capture_frame: int,
+    diff_ratio: float = 0.8,
+) -> bool:
+    """Flag a sequence whose filtered poses stop early (reference
+    find_bad_sequences.py: a capture is faulty when the last chosen frame
+    covers less than `diff_ratio` of the recorded frame range — the hand
+    left the rig or tracking collapsed partway through)."""
+    if not chosen_frames or last_capture_frame <= 0:
+        return True
+    return (chosen_frames[-1] / last_capture_frame) <= diff_ratio
+
+
 def visualize_ik_frames(
     result: dict,
     images: np.ndarray,  # [F, V, H, W, 3] uint8

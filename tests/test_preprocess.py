@@ -258,3 +258,11 @@ def test_filter_pose_frames():
     # start_frame drops leading frames before binning (grasp-sequence cut)
     chosen3 = filter_pose_frames(kyps, bin_size=5, start_frame=5)
     assert chosen3[0] == 6
+
+
+def test_sequence_is_faulty():
+    from manus_tpu.preprocess.pipeline import sequence_is_faulty
+
+    assert not sequence_is_faulty([0, 5, 90], 100)   # covers 90% of capture
+    assert sequence_is_faulty([0, 5, 70], 100)       # tracking died at 70%
+    assert sequence_is_faulty([], 100)               # nothing survived
