@@ -123,7 +123,7 @@ def perturb_model(model, seed=1, pos_sigma=0.004, col_sigma=0.1):
 
 
 def build_workload(backend: str, capacity: int, width: int, height: int,
-                   views: int):
+                   views: int, gt=None):
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +178,12 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
 
     # GT rendered from the clean model; the benched model is perturbed so
     # the loss landscape matches a real training scene (VERDICT r1).
-    gt = render_gt(model, cameras, views, width, height, bone_tf, backend)
+    # Callers benchmarking a second backend on the same scene pass the
+    # previous build's gt through: the target image is backend-agnostic
+    # and each skipped GT render saves a full jit compile (~30-200s on
+    # the tunneled platform, where compile latency varies wildly).
+    if gt is None:
+        gt = render_gt(model, cameras, views, width, height, bone_tf, backend)
     state = init_train_state(perturb_model(model))
     train_step = make_train_step(cfg, extent=1.0, articulated=True)
     batch = {
@@ -211,7 +216,25 @@ def time_iters(train_step, state, batch, warmup: int, iters: int):
 
 
 def main():
+    import os
+
     import jax
+
+    # Wall-clock budget: jit compile latency on the tunneled platform
+    # swings between ~20s and ~200s per program session-to-session, and
+    # the driver runs bench under a finite window. The primary metric
+    # always runs; each optional section is skipped when the remaining
+    # budget can no longer plausibly cover its compiles, so the JSON
+    # line is printed no matter how slow compilation is today.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "500"))
+    t_start = time.perf_counter()
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    def note(msg):
+        print(f"[bench] {msg} (t={time.perf_counter() - t_start:.0f}s)",
+              file=sys.stderr, flush=True)
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -225,37 +248,60 @@ def main():
         "pallas" if on_tpu else "xla", capacity, width, height, views
     )
     pallas_ips = time_iters(step_p, state_p, batch_p, warmup, iters)
+    note(f"hand pallas: {pallas_ips:.1f} it/s")
 
-    try:
-        step_x, state_x, batch_x = build_workload(
-            "xla", capacity, width, height, views
-        )
-        xla_ips = time_iters(step_x, state_x, batch_x, warmup, max(iters // 4, 2))
-    except Exception:
-        xla_ips = float("nan")
+    xla_ips = float("nan")
+    if remaining() > 120:
+        try:
+            # reuse the pallas GT (same scene; saves the xla render compile)
+            step_x, state_x, batch_x = build_workload(
+                "xla", capacity, width, height, views, gt=batch_p["rgb"]
+            )
+            xla_ips = time_iters(
+                step_x, state_x, batch_x, warmup, max(iters // 4, 2)
+            )
+            note(f"xla fallback: {xla_ips:.2f} it/s")
+        except Exception:
+            pass
+    else:
+        note("skipping xla fallback (budget)")
 
-    try:
-        step_o, state_o, batch_o = build_object_workload(
-            "pallas" if on_tpu else "xla", capacity, width, height, views
-        )
-        obj_ips = time_iters(step_o, state_o, batch_o, warmup, iters)
-    except Exception:
-        obj_ips = float("nan")
+    obj_ips = float("nan")
+    if remaining() > 120:
+        try:
+            step_o, state_o, batch_o = build_object_workload(
+                "pallas" if on_tpu else "xla", capacity, width, height, views
+            )
+            obj_ips = time_iters(step_o, state_o, batch_o, warmup, iters)
+            note(f"object: {obj_ips:.1f} it/s")
+        except Exception:
+            pass
+    else:
+        note("skipping object (budget)")
 
     # full MANUS frame scale: 1280x720 at 131k gaussians (VERDICT r1
     # item 10) as a second tracked configuration
     hd_ips = float("nan")
-    if on_tpu:
+    if on_tpu and remaining() > 150:
         try:
             step_h, state_h, batch_h = build_workload(
                 "pallas", 1 << 17, 1280, 720, views
             )
             hd_ips = time_iters(step_h, state_h, batch_h, warmup,
                                 max(iters // 2, 4))
+            note(f"hand 720p: {hd_ips:.1f} it/s")
         except Exception:
             pass
+    else:
+        note("skipping 720p (budget)" if on_tpu else "skipping 720p (cpu)")
 
-    vs_baseline = pallas_ips / xla_ips if np.isfinite(xla_ips) else 1.0
+    # vs_baseline = speedup over the in-repo XLA fallback renderer. When
+    # the budget forced the fallback measurement to be skipped, reuse the
+    # last hardware-measured fallback throughput (BENCH_r01: 2.096 it/s
+    # on this same fixed workload) and say so via vs_baseline_stale.
+    stale = not np.isfinite(xla_ips)
+    xla_ref = xla_ips if not stale else (2.096 if on_tpu else float("nan"))
+    vs_baseline = pallas_ips / xla_ref if np.isfinite(xla_ref) else 1.0
     print(
         json.dumps(
             {
@@ -264,6 +310,7 @@ def main():
                 "unit": "iters/s",
                 "vs_baseline": round(vs_baseline, 3),
                 "extra": {
+                    "vs_baseline_stale": stale,
                     "rays_per_s": round(pallas_ips * width * height * views),
                     "xla_fallback_iters_per_s": round(xla_ips, 3)
                     if np.isfinite(xla_ips)
