@@ -182,7 +182,9 @@ def render_gaussians(
             pair_budget_factor=config.pair_budget_factor,
             max_pairs_per_tile=config.max_pairs_per_tile,
         )
-        pay = payload_mod.build_payload(proj, colors, opacity, bins)
+        pay = payload_mod.build_payload(
+            proj, colors, opacity, bins, config.tg_max
+        )
         # tile-sharded composite: each gauss-axis column rasterises its
         # contiguous tile block; outputs gathered back below.
         shard_tiles = (

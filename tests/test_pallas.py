@@ -122,7 +122,7 @@ def test_tile_block_composite_matches_full():
     bins = bin_gaussians(proj, ntx, nty, 64, 128, 8, 1024)
     pay = pm.build_payload(
         proj, jnp.asarray(scene["colors"]), jnp.asarray(scene["opacity"]),
-        bins,
+        bins, 64,
     )
     rgb_full, t_full = pallas_backend.composite_tiles_pallas(
         pay, bins.tile_offsets, bins.tile_counts, ntx, nty, tile=TILE,
