@@ -127,6 +127,23 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
 
         def tile_body(j, carry):
             t = p * tpp + j
+            count = cnts_ref[t]
+
+            # Empty tiles (most of a sparse scene: the bench hand covers
+            # ~8% of the 512^2 tile grid) short-circuit to constant
+            # writes — no pixel iotas, loop setup, or drain bookkeeping.
+            @pl.when(count == 0)
+            def _():
+                rgb_ref[j] = jnp.zeros((n_px, 3), jnp.float32)
+                tfin_ref[j] = jnp.ones((n_px, 1), jnp.float32)
+                aux_ref[j] = jnp.zeros((n_px, 2), jnp.float32)
+
+            @pl.when(count > 0)
+            def _():
+                _walk_tile(j, t)
+            return carry
+
+        def _walk_tile(j, t):
             start_seg = offs_ref[t]
             count = cnts_ref[t]
             first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
@@ -228,7 +245,6 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
                 [log_t, jnp.full((n_px, 1), 1.0) * k.astype(jnp.float32)],
                 axis=1,
             )
-            return carry
 
         jax.lax.fori_loop(0, tpp, tile_body, 0)
 
@@ -264,6 +280,17 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
 
         def tile_body(j, carry):
             t = p * tpp + j
+
+            # Tiles whose forward composited nothing (k_stop == 0 — empty
+            # segment, or every pixel culled before chunk 0) have a zero
+            # gradient footprint: d_payload is pre-zeroed through the
+            # alias, so skip the whole reverse walk setup.
+            @pl.when(kstop_all_ref[t] > 0)
+            def _():
+                _walk_tile(j, t)
+            return carry
+
+        def _walk_tile(j, t):
             start_seg = offs_ref[t]
             count = cnts_ref[t]
             k_stop = kstop_all_ref[t]
@@ -317,15 +344,13 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
             # cross-walk write->read ordering is preserved by the
             # end-of-walk drain (tile walks and grid programs are
             # sequential on a core).
-            k_start = k_stop - 1
+            k_start = k_stop - 1  # >= 0: _walk_tile only runs for k_stop > 0
 
-            @pl.when(k_stop > 0)
+            dma_in_for(k_start, k_start % 2).start()
+
+            @pl.when(edge(k_start))
             def _():
-                dma_in_for(k_start, k_start % 2).start()
-
-                @pl.when(edge(k_start))
-                def _():
-                    dma_rmw_for(k_start, k_start % 2).start()
+                dma_rmw_for(k_start, k_start % 2).start()
 
             def cond(state):
                 return state[0] >= 0
@@ -441,16 +466,12 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
 
             # drain the last two gradient writes before the next tile
             # walk / grid program (whose RMW may read the chunks they
-            # target)
-            @pl.when(k_stop >= 1)
-            def _():
-                dma_out_for(0, 0).wait()
+            # target); k_stop >= 1 holds here
+            dma_out_for(0, 0).wait()
 
             @pl.when(k_stop >= 2)
             def _():
                 dma_out_for(1, 1).wait()
-
-            return carry
 
         jax.lax.fori_loop(0, tpp, tile_body, 0)
 
