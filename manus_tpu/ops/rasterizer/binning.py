@@ -8,7 +8,7 @@ diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
      slot->offset div/mod runs in f32 — TPUs have no vector integer
      divide, and the operands are tiny enough for exact f32 division);
   2. ONE stable two-key XLA sort of the flat pair array keyed by
-     (tile id, view depth) with the flat slot id as value — the depth
+     (tile id, view depth) with the gaussian index as value — the depth
      key replaces the CUDA 64-bit tile|depth composite AND the earlier
      design's separate [N] depth argsort + [N]-gather of rects into depth
      order (measured ~1.5 ms of the ~5.5 ms binning cost at 65k/512^2;
@@ -44,19 +44,12 @@ class TileBins(NamedTuple):
 
     pair_src: [P_budget] int32 — for each sorted pair slot, the index into
       the *original* (unsorted) gaussian arrays; -1 for the invalid tail.
-    pair_slot: [P_budget] int32 — the pair's flat slot id (gaussian * tg_max
-      + rect-slot) in the pre-sort [N, TG_MAX] expansion. Each valid slot id
-      appears at most once; invalid tail entries get unique OUT-OF-RANGE ids
-      (n*tg_max + position), so a `mode="drop"` scatter by pair_slot is a
-      unique-index permutation — the payload backward exploits this to turn
-      the minor-dim scatter-add into a row scatter + dense reduce.
     tile_offsets: [T] int32 — segment start of each tile (NOT lane-aligned).
     tile_counts: [T] int32 — number of pairs per tile (budget-clamped).
     overflow_count: [] int32 — pairs dropped (tg_max truncation + budget).
     """
 
     pair_src: jax.Array
-    pair_slot: jax.Array
     tile_offsets: jax.Array
     tile_counts: jax.Array
     overflow_count: jax.Array
@@ -95,19 +88,18 @@ def bin_gaussians(
         jnp.where(visible, jnp.maximum(n_slots - tg_max, 0), 0)
     ).astype(jnp.int32)
 
-    # -- 2. one stable (tile, depth) two-key sort; values carry the FLAT
-    # SLOT id (gaussian * tg_max + rect-slot): the gaussian index falls out
-    # as slot // tg_max, and the slot id itself is what the payload
-    # backward scatters by (see TileBins docstring). Equal depths tie-break
-    # by slot order — identical to the previous stable depth-argsort +
-    # stable tile sort.
+    # -- 2. one stable (tile, depth) two-key sort; values carry the
+    # ORIGINAL gaussian index. Equal depths tie-break by slot order —
+    # identical to the previous stable depth-argsort + stable tile sort.
     pair_tile = tile_id.reshape(-1)
     pair_depth = jnp.broadcast_to(
         proj.depth[:, None], (n, tg_max)
     ).reshape(-1)
-    flat_slot = jnp.arange(n * tg_max, dtype=jnp.int32)
-    sorted_tile, _, sorted_slot = jax.lax.sort(
-        (pair_tile, pair_depth, flat_slot), num_keys=2, is_stable=True
+    pair_gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, tg_max)
+    ).reshape(-1)
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (pair_tile, pair_depth, pair_gidx), num_keys=2, is_stable=True
     )
 
     # -- 3. segment bounds (T+1 queries, cheap) + static budget truncation.
@@ -137,21 +129,16 @@ def bin_gaussians(
 
     total_valid = jnp.minimum(bounds[num_tiles], p_budget)
     take = min(p_budget, n * tg_max)
-    slot = sorted_slot[:take]
+    src = sorted_gidx[:take]
     if p_budget > take:  # lane rounding can exceed the raw pair count
-        slot = jnp.concatenate(
-            [slot, jnp.zeros((p_budget - take,), jnp.int32)]
+        src = jnp.concatenate(
+            [src, jnp.full((p_budget - take,), -1, jnp.int32)]
         )
     slot_ids = jnp.arange(p_budget, dtype=jnp.int32)
-    live = slot_ids < total_valid
-    pair_src = jnp.where(live, slot // tg_max, -1)
-    # invalid tail -> unique out-of-range ids (n*tg_max + position) so a
-    # unique_indices drop-scatter by pair_slot stays well-defined.
-    pair_slot = jnp.where(live, slot, n * tg_max + slot_ids)
+    pair_src = jnp.where(slot_ids < total_valid, src, -1)
 
     return TileBins(
         pair_src=pair_src.astype(jnp.int32),
-        pair_slot=pair_slot.astype(jnp.int32),
         tile_offsets=starts,
         tile_counts=counts,
         overflow_count=overflow,

@@ -198,3 +198,46 @@ def test_pair_budget_truncation_counts_overflow():
     a, b = np.asarray(out_full.render), np.asarray(out_tiny.render)
     assert np.all(np.isfinite(b))
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.5
+
+
+def test_payload_custom_vjp_matches_autodiff():
+    """The payload backward (sort + segmented doubling sum, payload.py)
+    must equal plain autodiff of the gather: exercised with duplicate
+    sources (up to tg_max pairs per gaussian), absent gaussians, and a
+    dead -1 tail."""
+    from manus_tpu.ops.rasterizer import payload as pm
+
+    rng = np.random.RandomState(0)
+    n, p, tg = 500, 1024, 16
+    m2d = jnp.asarray(rng.randn(n, 2), jnp.float32)
+    con = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    col = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    op = jnp.asarray(rng.rand(n), jnp.float32)
+    src = np.full(p, -1, np.int32)
+    k = 0
+    for i in rng.permutation(n):  # some gaussians get 0 pairs, some tg
+        for _ in range(min(rng.randint(0, tg + 1), p - k)):
+            src[k] = i
+            k += 1
+        if k >= p - 50:
+            break
+    rng.shuffle(src[:k])
+    src = jnp.asarray(src)
+    cot = jnp.asarray(rng.randn(16, p), jnp.float32)
+
+    def ref(m2d, con, col, op):
+        ok = src >= 0
+        fields = jnp.concatenate(
+            [m2d, con, op[:, None], col, jnp.zeros((n, 7), jnp.float32)],
+            axis=1,
+        )
+        rows = jnp.take(fields, jnp.maximum(src, 0), axis=0)
+        return jnp.vdot(jnp.where(ok[:, None], rows, 0.0).T, cot)
+
+    def new(m2d, con, col, op):
+        return jnp.vdot(pm._gather_pairs(tg, m2d, con, col, op, src), cot)
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2, 3))(m2d, con, col, op)
+    g_new = jax.grad(new, argnums=(0, 1, 2, 3))(m2d, con, col, op)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
