@@ -6,7 +6,11 @@ diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
   1. expand each gaussian into at most TG_MAX (gaussian, tile) pairs by
      enumerating its tile-rect slots (static [N, TG_MAX] grid; the
      slot->offset div/mod runs in f32 — TPUs have no vector integer
-     divide, and the operands are tiny enough for exact f32 division);
+     divide, and the operands are tiny enough for exact f32 division).
+     Gaussians whose rect exceeds TG_MAX tiles are truncated to a SUB-RECT
+     (width clamped to TG_MAX, then rows to TG_MAX // width) rather than a
+     raster-order slot prefix, so per-tile pair counts keep an exact
+     rank-1 product form (see 3);
   2. ONE stable two-key XLA sort of the flat pair array keyed by
      (tile id, view depth) with the gaussian index as value — the depth
      key replaces the CUDA 64-bit tile|depth composite AND the earlier
@@ -15,19 +19,27 @@ diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
      a fused single-int32 key was measured SLOWER than the two-key sort).
      Stability gives the reference tie-break: equal (tile, depth) pairs
      stay in slot order.
-  3. per-tile segments live at their NATURAL sorted offsets [start, end):
-     no re-layout. (An earlier design re-laid segments out lane-aligned;
-     the required 2M-wide table-gather + scatter cost ~27 ms/frame on v5e
-     — far more than the raster kernel itself.) The Pallas kernel instead
-     DMAs lane-aligned chunk windows covering each segment and masks the
-     edge pairs by global position; gradient chunks are read-modify-write,
-     which is race-free because the pallas grid is sequential on a core.
+  3. per-tile segment bounds come from a closed-form histogram, not a
+     searchsorted over the 1M sorted keys: each (possibly sub-rect
+     truncated) gaussian covers a row-interval x column-interval of the
+     tile grid, so counts[ty, tx] = sum_i row_i[ty] * col_i[tx] — one
+     [nty, N] @ [N, ntx] MXU matmul (exact in f32: counts < 2^24) and a
+     T-length cumsum. Segments then live at their NATURAL sorted offsets
+     [start, end): no re-layout. (An earlier design re-laid segments out
+     lane-aligned; the required 2M-wide table-gather + scatter cost
+     ~27 ms/frame on v5e — far more than the raster kernel itself.) The
+     Pallas kernel instead DMAs lane-aligned chunk windows covering each
+     segment and masks the edge pairs by global position; gradient chunks
+     are read-modify-write, race-free because the pallas grid is
+     sequential on a core.
 
 The sorted pair array is truncated to a static budget
 (N * pair_budget_factor, rounded to the lane width): invalid pairs sort to
 the tail and real pair counts are far below N*TG_MAX, so the budget only
-drops work when a scene overflows it — counted in overflow_count,
-farthest-first per tile.
+drops work when a scene overflows it. All three drop paths (sub-rect
+tg_max truncation, the pair budget — which chops the highest tile ids
+first — and the per-tile max_pairs cap, which drops farthest-first) are
+counted in overflow_count.
 """
 from __future__ import annotations
 
@@ -71,21 +83,29 @@ def bin_gaussians(
     visible = proj.visible
 
     # -- 1. expand tile-rect slots (f32 div: operands < 2^10, exact).
+    # Oversized rects truncate to a sub-rect (width first, then rows) so
+    # the kept cells stay a row-interval x column-interval — the product
+    # form the histogram in step 3 requires.
     rw = rect[:, 2] - rect[:, 0]
     rh = rect[:, 3] - rect[:, 1]
     n_slots = rw * rh
-    rw_safe = jnp.maximum(rw, 1)
+    rw_eff = jnp.clip(rw, 1, tg_max)
+    rh_eff = jnp.minimum(rh, tg_max // rw_eff)
     slots = jnp.arange(tg_max, dtype=jnp.int32)
     dy = jnp.floor(
-        slots[None, :].astype(jnp.float32) / rw_safe[:, None].astype(jnp.float32)
+        slots[None, :].astype(jnp.float32) / rw_eff[:, None].astype(jnp.float32)
     ).astype(jnp.int32)
-    dx = slots[None, :] - dy * rw_safe[:, None]
-    pair_valid = visible[:, None] & (slots[None, :] < n_slots[:, None])
+    dx = slots[None, :] - dy * rw_eff[:, None]
+    pair_valid = (
+        visible[:, None] & (dx < jnp.minimum(rw, rw_eff)[:, None])
+        & (dy < rh_eff[:, None])
+    )
     tile_id = (rect[:, 1:2] + dy) * num_tiles_x + (rect[:, 0:1] + dx)
     tile_id = jnp.where(pair_valid, tile_id, num_tiles).astype(jnp.int32)
 
+    kept = jnp.minimum(rw, rw_eff) * rh_eff
     overflow = jnp.sum(
-        jnp.where(visible, jnp.maximum(n_slots - tg_max, 0), 0)
+        jnp.where(visible, n_slots - kept, 0)
     ).astype(jnp.int32)
 
     # -- 2. one stable (tile, depth) two-key sort; values carry the
@@ -102,9 +122,32 @@ def bin_gaussians(
         (pair_tile, pair_depth, pair_gidx), num_keys=2, is_stable=True
     )
 
-    # -- 3. segment bounds (T+1 queries, cheap) + static budget truncation.
-    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    del sorted_tile  # bounds come from the closed-form histogram below
+
+    # -- 3. segment bounds from the rank-1 histogram: counts[ty, tx] =
+    # sum_i row_i[ty] col_i[tx] on the MXU (f32 exact: counts < 2^24),
+    # then a T-length cumsum. Replaces a searchsorted over the 1M sorted
+    # keys (~0.4 ms at 65k/512^2) and decouples bounds from the sort.
+    ty = jnp.arange(num_tiles_y, dtype=jnp.int32)[None, :]
+    tx = jnp.arange(num_tiles_x, dtype=jnp.int32)[None, :]
+    row = (
+        (ty >= rect[:, 1:2]) & (ty < rect[:, 1:2] + rh_eff[:, None])
+        & visible[:, None]
+    ).astype(jnp.float32)
+    col = (
+        (tx >= rect[:, 0:1]) & (tx < rect[:, 0:1] + jnp.minimum(rw, rw_eff)[:, None])
+    ).astype(jnp.float32)
+    counts2d = jax.lax.dot_general(
+        row, col, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [nty, ntx]
+    bounds = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(counts2d.reshape(-1).astype(jnp.int32)),
+        ]
+    )
 
     p_budget = n * tg_max
     if pair_budget_factor > 0:
