@@ -158,3 +158,33 @@ def test_tile_block_composite_matches_full():
             np.asarray(rgb_x), np.asarray(rgb_full)[base : base + count],
             atol=1e-5,
         )
+
+
+def test_pallas_clustered_scene_empty_programs():
+    """Clustered scene at 128^2 (64 tiles, 8 grid programs): most tile
+    programs are fully empty — exercises the empty-tile constant-write
+    branch and the kstop==0 backward skip against the xla path, fwd+grad."""
+    cam = make_test_camera(128, 128)
+    scene = random_scene(250, seed=9, spread=0.08)  # tight cluster
+    scene["means"] = scene["means"] + np.array([-0.35, -0.35, 0.0],
+                                               np.float32)  # off-center
+
+    def loss(backend, means):
+        s = dict(scene, means=means)
+        out = _render(s, cam, backend)
+        return (out.render * jnp.cos(jnp.arange(3.0))).sum(), out
+
+    for backend in ("xla", "pallas"):
+        (val, out), g = jax.value_and_grad(
+            lambda m: loss(backend, m), has_aux=True
+        )(jnp.asarray(scene["means"]))
+        if backend == "xla":
+            ref_val, ref_out, ref_g = val, out, g
+    # some tiles must actually be empty for this test to mean anything
+    assert float(np.asarray(ref_out.t_final).max()) == 1.0
+    np.testing.assert_allclose(np.asarray(out.render),
+                               np.asarray(ref_out.render), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.t_final),
+                               np.asarray(ref_out.t_final), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                               atol=5e-5)
