@@ -55,10 +55,12 @@ class DatasetConfig:
     split_ratio: float = 0.1
     bg_color: str = "black"
     sample_size: int = 2000  # init points (per bone for hand)
-    # hand voxel grid
+    # hand voxel grid (defaults = consumed hand_model.yaml values,
+    # reference hand_dynamic.py:49-54: ratio [1.1, 0.9, 0.65], per-axis
+    # center offset [0, 0, -0.03])
     grid_res: int = 64
-    grid_size: Tuple[float, float, float] = (1.0, 0.9, 0.6)
-    grid_offset: float = 0.0
+    grid_size: Tuple[float, float, float] = (1.1, 0.9, 0.65)
+    grid_offset: Tuple[float, float, float] = (0.0, 0.0, -0.03)
     # test-epoch modes (reference TestDataset, brics_dynamic.py:485-696 +
     # base.py:23-31,245-307): trainer.mode=test consumes these
     test_on_train_dataset: bool = False  # re-render train frames w/ gt

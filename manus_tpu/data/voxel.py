@@ -54,8 +54,8 @@ def build_voxel_grid(
     bones_keypoints: np.ndarray,  # [K, 3] canonical skeleton keypoints
     mano: Optional[dict] = None,
     res: int = 128,
-    ratio=(1.0, 0.9, 0.6),
-    offset: float = 0.0,
+    ratio=(1.1, 0.9, 0.65),
+    offset=(0.0, 0.0, -0.03),
     neighbors: int = 20,
     surface_margin: float = 0.02,
     num_bones: int = 20,
@@ -63,11 +63,13 @@ def build_voxel_grid(
     """Returns a VoxelGrid with [D, H, W, B+1] weights (bg channel last).
 
     Grid geometry mirrors reference brics_dynamic.py:99-144 (bbox center,
-    half-diagonal scale with per-axis ratios).
+    half-diagonal scale with per-axis ratios, per-axis center offset);
+    ratio/offset defaults are the consumed hand_model.yaml values
+    (hand_dynamic.py:49-54).
     """
     keypts = np.asarray(bones_keypoints)
     cano_min, cano_max = keypts.min(0), keypts.max(0)
-    center = (cano_max + cano_min) / 2 + offset
+    center = (cano_max + cano_min) / 2 + np.asarray(offset, np.float64)
     x_r, y_r, z_r = ratio
     res_scaled = (res / np.array([x_r, y_r, z_r])).astype(np.int32)
     d, h, w = int(res_scaled[2]), int(res_scaled[1]), int(res_scaled[0])
