@@ -88,7 +88,9 @@ class RasterOptions:
     backend: str = "auto"
     lane_align: int = 128
     # Aligned pair-buffer cap as a multiple of N (0 = off). Quality-critical:
-    # pairs beyond the budget are dropped farthest-first (see binning.py);
+    # pairs beyond the budget drop whole trailing tile segments (highest
+    # tile ids first — see binning.py; the PER-TILE max_pairs cap is the
+    # farthest-first one) and are counted in the overflow diagnostic;
     # tune per experiment via `raster.pair_budget_factor=...`.
     pair_budget_factor: int = 8
 
