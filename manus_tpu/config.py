@@ -36,6 +36,12 @@ class TrainerConfig:
     process_id: int = -1  # -1 = auto
     log_losses: bool = True
     debug_nans: bool = False  # jax_debug_nans (reference anomaly detection)
+    # Device-resident dataset cache cap (MiB; 0 = off). When the full
+    # [F, V, H, W, rgb+mask] tensor fits, it is staged into HBM once and
+    # per-step batches become on-device gathers — no per-step host->device
+    # image transfers (the reference's pinned-memory DataLoader analogue,
+    # one step further: TPU HBM is large enough to hold whole captures).
+    device_cache_mb: int = 2048
     # metric sinks (reference trainer.yaml loggers + base.py:293): "csv"
     # always writes the train/val CSVs; "wandb" streams scalars when the
     # package is importable (warns and degrades to csv-only otherwise);
