@@ -99,6 +99,10 @@ class RasterOptions:
     # farthest-first one) and are counted in the overflow diagnostic;
     # tune per experiment via `raster.pair_budget_factor=...`.
     pair_budget_factor: int = 8
+    # two-tier binning: static multi-tile gaussian capacity as a fraction
+    # of N (binning.py step 1). Multis beyond it keep top-left-cell
+    # coverage only (overflow-counted). 1.0 = no capacity pressure.
+    multi_frac: float = 1.0
 
 
 @dataclasses.dataclass
@@ -146,7 +150,19 @@ def object_config() -> ExperimentConfig:
         loss_weight=(0.8, 0.2, 0.1),
     )
     cfg.trainer.max_steps = 10000
+    cfg.raster = _tuned_raster(cfg.raster)
     return cfg
+
+
+def _tuned_raster(raster: RasterOptions) -> RasterOptions:
+    """Measured production raster settings (v5e, PARITY.md "Perf state"):
+    full tg_max=64 rect coverage stays affordable because the two-tier
+    binning only expands multi-tile gaussians (multi_frac capacity), and
+    a 4N pair budget covers measured scenes ~2x over. Overflow stays a
+    per-step diagnostic; raise the knobs for translucent/outlier scenes."""
+    return dataclasses.replace(
+        raster, tg_max=64, pair_budget_factor=4, multi_frac=0.25
+    )
 
 
 def hand_config() -> ExperimentConfig:
@@ -160,6 +176,7 @@ def hand_config() -> ExperimentConfig:
     cfg.trainer.max_steps = 15000
     cfg.dataset.sample_size = 10000
     cfg.dataset.grid_res = 128
+    cfg.raster = _tuned_raster(cfg.raster)
     return cfg
 
 

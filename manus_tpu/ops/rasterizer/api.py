@@ -41,6 +41,9 @@ class RasterConfig(NamedTuple):
     backend: str = "auto"
     lane_align: int = 128
     pair_budget_factor: int = 8  # aligned pair buffer cap, x N (0 = off)
+    # static capacity for multi-tile gaussians in the two-tier binning
+    # expansion, x N (binning.py); 1.0 = every gaussian may be multi
+    multi_frac: float = 1.0
 
 
 class RenderOutput(NamedTuple):
@@ -181,6 +184,7 @@ def render_gaussians(
             proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
             pair_budget_factor=config.pair_budget_factor,
             max_pairs_per_tile=config.max_pairs_per_tile,
+            multi_frac=config.multi_frac,
         )
         pay = payload_mod.build_payload(
             proj, colors, opacity, bins, config.tg_max

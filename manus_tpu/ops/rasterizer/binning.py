@@ -3,22 +3,25 @@
 TPU-native replacement for the CUDA duplicate-and-radix-sort binning in
 diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
 
-  1. expand each gaussian into at most TG_MAX (gaussian, tile) pairs by
-     enumerating its tile-rect slots (static [N, TG_MAX] grid; the
-     slot->offset div/mod runs in f32 — TPUs have no vector integer
-     divide, and the operands are tiny enough for exact f32 division).
-     Gaussians whose rect exceeds TG_MAX tiles are truncated to a SUB-RECT
-     (width clamped to TG_MAX, then rows to TG_MAX // width) rather than a
-     raster-order slot prefix, so per-tile pair counts keep an exact
-     rank-1 product form (see 3);
-  2. ONE stable two-key XLA sort of the flat pair array keyed by
-     (tile id, view depth) with the gaussian index as value — the depth
-     key replaces the CUDA 64-bit tile|depth composite AND the earlier
-     design's separate [N] depth argsort + [N]-gather of rects into depth
-     order (measured ~1.5 ms of the ~5.5 ms binning cost at 65k/512^2;
-     a fused single-int32 key was measured SLOWER than the two-key sort).
-     Stability gives the reference tie-break: equal (tile, depth) pairs
-     stay in slot order.
+  1. expand each gaussian's tile-rect cells in TWO TIERS: every visible
+     gaussian emits its top-left cell ([N] slots), and only multi-tile
+     gaussians — compacted by a cheap [N] sort into a static
+     [multi_frac * N, TG_MAX - 1] block — emit the rest of their rect.
+     Most gaussians touch one tile, so this shrinks the sorted slot
+     count ~4x vs the flat [N, TG_MAX] expansion at equal coverage.
+     Gaussians whose rect exceeds TG_MAX tiles are truncated to a
+     SUB-RECT (width clamped to TG_MAX, then rows to TG_MAX // width)
+     rather than a raster-order slot prefix, and multis beyond the
+     multi_frac capacity degrade to their top-left cell only — both
+     keep per-tile pair counts in the exact rank-1 product form the
+     histogram in step 3 requires, and both are overflow-counted;
+  2. ONE three-key XLA sort of the concatenated tiers keyed by
+     (tile id, view depth, gaussian id). The keys are unique per pair
+     (a gaussian contributes at most one pair per tile), so no
+     stability is needed, and the order equals the reference tie-break
+     (the depth key replaces the CUDA 64-bit tile|depth composite;
+     equal depths order by gaussian id exactly like the old stable
+     slot-order sort);
   3. per-tile segment bounds come from a closed-form histogram, not a
      searchsorted over the 1M sorted keys: each (possibly sub-rect
      truncated) gaussian covers a row-interval x column-interval of the
@@ -75,6 +78,8 @@ def bin_gaussians(
     lane_align: int = 128,
     pair_budget_factor: int = 8,
     max_pairs_per_tile: int = 0,
+    multi_frac: float = 1.0,
+    multi_floor: int = 4096,
 ) -> TileBins:
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
@@ -82,47 +87,104 @@ def bin_gaussians(
     rect = proj.tile_rect  # [N, 4], original (unsorted) order
     visible = proj.visible
 
-    # -- 1. expand tile-rect slots (f32 div: operands < 2^10, exact).
-    # Oversized rects truncate to a sub-rect (width first, then rows) so
-    # the kept cells stay a row-interval x column-interval — the product
-    # form the histogram in step 3 requires.
+    # -- 1. two-tier slot expansion. Most gaussians touch exactly ONE
+    # tile, so a flat [N, TG_MAX] expansion sorts mostly-dead slots
+    # (tg_max=64 at 131k gaussians = an 8.4M-slot sort, ~12 ms on v5e).
+    # Instead: tier 1 gives EVERY visible gaussian its top-left rect cell
+    # ([N] slots); tier 2 expands the REMAINING rect cells only for
+    # multi-tile gaussians, compacted (by a cheap [N] sort) into a static
+    # [M = multi_frac*N, TG_MAX-1] block. Multis beyond the M capacity
+    # degrade gracefully to 1-tile (top-left) coverage — their effective
+    # rect is clamped to 1x1, which keeps the bounds histogram (step 3)
+    # exactly consistent — and the lost cells are overflow-counted.
+    #
+    # Oversized rects truncate to a sub-rect (width clamped first, then
+    # rows) so kept cells stay a row-interval x column-interval — the
+    # product form the histogram requires. All index arithmetic that
+    # needs a vector divide runs in f32 (exact: operands < 2^10).
     rw = rect[:, 2] - rect[:, 0]
     rh = rect[:, 3] - rect[:, 1]
     n_slots = rw * rh
     rw_eff = jnp.clip(rw, 1, tg_max)
     rh_eff = jnp.minimum(rh, tg_max // rw_eff)
-    slots = jnp.arange(tg_max, dtype=jnp.int32)
-    dy = jnp.floor(
-        slots[None, :].astype(jnp.float32) / rw_eff[:, None].astype(jnp.float32)
-    ).astype(jnp.int32)
-    dx = slots[None, :] - dy * rw_eff[:, None]
-    pair_valid = (
-        visible[:, None] & (dx < jnp.minimum(rw, rw_eff)[:, None])
-        & (dy < rh_eff[:, None])
-    )
-    tile_id = (rect[:, 1:2] + dy) * num_tiles_x + (rect[:, 0:1] + dx)
-    tile_id = jnp.where(pair_valid, tile_id, num_tiles).astype(jnp.int32)
+    rw_kept = jnp.minimum(rw, rw_eff)
 
-    kept = jnp.minimum(rw, rw_eff) * rh_eff
+    # capacity floor: small scenes (and early low-res experiments) have a
+    # high multi fraction; the fractional cap only bites at scale, where
+    # the sort savings matter
+    m_cap = min(n, max(multi_floor, int(round(n * multi_frac))))
+    kept0 = rw_kept * rh_eff
+    is_multi = visible & (kept0 > 1)
+    # Size-prioritized inclusion: when multis exceed the capacity, the
+    # LARGEST rects keep full expansion (they lose the most cells if
+    # degraded) and the smallest multis degrade first. Scatter-free:
+    # c[s] = #multis of size >= s is a tiny [N, TG-1] compare-reduce;
+    # s* = smallest size that fits, and the partial size class s*-1 is
+    # admitted in gaussian-id order via a cumsum rank.
+    sizes = jnp.arange(2, tg_max + 1, dtype=jnp.int32)  # [TG-1]
+    c = jnp.sum(
+        (kept0[:, None] >= sizes[None, :]) & is_multi[:, None], axis=0
+    )  # [TG-1], non-increasing
+    s_star = jnp.min(jnp.where(c <= m_cap, sizes, tg_max + 1))
+    n_big = jnp.sum(is_multi & (kept0 >= s_star))
+    part = is_multi & (kept0 == s_star - 1)
+    rank_part = jnp.cumsum(part.astype(jnp.int32))  # 1-based inclusive
+    included = is_multi & (
+        (kept0 >= s_star) | (part & (rank_part <= m_cap - n_big))
+    )
+    excluded = is_multi & ~included
+    rw_f = jnp.where(excluded, 1, rw_kept)
+    rh_f = jnp.where(excluded, 1, rh_eff)
+    kept = rw_f * rh_f
+
     overflow = jnp.sum(
         jnp.where(visible, n_slots - kept, 0)
     ).astype(jnp.int32)
 
-    # -- 2. one stable (tile, depth) two-key sort; values carry the
-    # ORIGINAL gaussian index. Equal depths tie-break by slot order —
-    # identical to the previous stable depth-argsort + stable tile sort.
-    pair_tile = tile_id.reshape(-1)
-    pair_depth = jnp.broadcast_to(
-        proj.depth[:, None], (n, tg_max)
-    ).reshape(-1)
-    pair_gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, tg_max)
-    ).reshape(-1)
-    sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (pair_tile, pair_depth, pair_gidx), num_keys=2, is_stable=True
-    )
+    gids = jnp.arange(n, dtype=jnp.int32)
 
-    del sorted_tile  # bounds come from the closed-form histogram below
+    # tier 1: top-left cell of every visible gaussian
+    tile_1 = jnp.where(
+        visible, rect[:, 1] * num_tiles_x + rect[:, 0], num_tiles
+    ).astype(jnp.int32)
+
+    # tier 2: compact the included multis (stable -> gid order), then
+    # expand their rect slots 1..kept-1
+    mkey = jnp.where(included, 0, 1).astype(jnp.int32)
+    _, mgid = jax.lax.sort((mkey, gids), num_keys=1, is_stable=True)
+    mgid = mgid[:m_cap]  # [M] gaussian ids (tail rows masked below)
+    m_ok = jnp.take(mkey, mgid) == 0
+    m_rect = jnp.take(rect, mgid, axis=0)
+    m_rw = jnp.take(rw_f, mgid)
+    m_kept = jnp.take(kept, mgid)
+    m_depth = jnp.take(proj.depth, mgid)
+    slots = jnp.arange(1, tg_max, dtype=jnp.int32)  # rect slots 1..tg-1
+    dy = jnp.floor(
+        slots[None, :].astype(jnp.float32) / m_rw[:, None].astype(jnp.float32)
+    ).astype(jnp.int32)
+    dx = slots[None, :] - dy * m_rw[:, None]
+    m_valid = m_ok[:, None] & (slots[None, :] < m_kept[:, None])
+    tile_2 = (m_rect[:, 1:2] + dy) * num_tiles_x + (m_rect[:, 0:1] + dx)
+    tile_2 = jnp.where(m_valid, tile_2, num_tiles).astype(jnp.int32)
+
+    # -- 2. one three-key sort over the concatenated tiers. Keys
+    # (tile, depth, gaussian id) are unique per pair, so no stability is
+    # needed and the order equals the old stable slot-order tie-break:
+    # within a tile, ascending depth, ties by gaussian id (two pairs of
+    # the same gaussian can never share a tile).
+    pair_tile = jnp.concatenate([tile_1, tile_2.reshape(-1)])
+    pair_depth = jnp.concatenate(
+        [proj.depth, jnp.broadcast_to(
+            m_depth[:, None], (m_cap, tg_max - 1)).reshape(-1)]
+    )
+    pair_gidx = jnp.concatenate(
+        [gids, jnp.broadcast_to(
+            mgid[:, None], (m_cap, tg_max - 1)).reshape(-1)]
+    )
+    n_exp = int(pair_tile.shape[0])  # N + M*(TG-1)
+    _, _, sorted_gidx = jax.lax.sort(
+        (pair_tile, pair_depth, pair_gidx), num_keys=3
+    )
 
     # -- 3. segment bounds from the rank-1 histogram: counts[ty, tx] =
     # sum_i row_i[ty] col_i[tx] on the MXU (f32 exact: counts < 2^24),
@@ -131,11 +193,11 @@ def bin_gaussians(
     ty = jnp.arange(num_tiles_y, dtype=jnp.int32)[None, :]
     tx = jnp.arange(num_tiles_x, dtype=jnp.int32)[None, :]
     row = (
-        (ty >= rect[:, 1:2]) & (ty < rect[:, 1:2] + rh_eff[:, None])
+        (ty >= rect[:, 1:2]) & (ty < rect[:, 1:2] + rh_f[:, None])
         & visible[:, None]
     ).astype(jnp.float32)
     col = (
-        (tx >= rect[:, 0:1]) & (tx < rect[:, 0:1] + jnp.minimum(rw, rw_eff)[:, None])
+        (tx >= rect[:, 0:1]) & (tx < rect[:, 0:1] + rw_f[:, None])
     ).astype(jnp.float32)
     counts2d = jax.lax.dot_general(
         row, col, (((0,), (0,)), ((), ())),
@@ -149,7 +211,7 @@ def bin_gaussians(
         ]
     )
 
-    p_budget = n * tg_max
+    p_budget = n_exp
     if pair_budget_factor > 0:
         p_budget = min(p_budget, n * pair_budget_factor)
     p_budget = ((p_budget + lane_align - 1) // lane_align) * lane_align
@@ -171,7 +233,7 @@ def bin_gaussians(
         counts = jnp.minimum(counts, max_pairs_per_tile)
 
     total_valid = jnp.minimum(bounds[num_tiles], p_budget)
-    take = min(p_budget, n * tg_max)
+    take = min(p_budget, n_exp)
     src = sorted_gidx[:take]
     if p_budget > take:  # lane rounding can exceed the raw pair count
         src = jnp.concatenate(

@@ -115,6 +115,7 @@ def make_raster_config(cfg: ExperimentConfig) -> RasterConfig:
         backend=cfg.raster.backend,
         lane_align=cfg.raster.lane_align,
         pair_budget_factor=cfg.raster.pair_budget_factor,
+        multi_frac=cfg.raster.multi_frac,
     )
 
 

@@ -241,3 +241,69 @@ def test_payload_custom_vjp_matches_autodiff():
     g_new = jax.grad(new, argnums=(0, 1, 2, 3))(m2d, con, col, op)
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "seed,n,res,tg,mf",
+    [(0, 3000, 128, 16, 1.0), (1, 2000, 64, 4, 1.0),
+     (3, 3000, 128, 16, 0.05), (4, 1000, 64, 64, 0.02)],
+)
+def test_binning_matches_bruteforce(seed, n, res, tg, mf):
+    """Two-tier binning (counts, offsets, AND the exact sorted pair order)
+    vs a brute-force enumeration of the kept sub-rects, including
+    multi_frac capacity pressure (excluded multis keep top-left coverage)."""
+    from manus_tpu.ops.rasterizer.binning import bin_gaussians
+    from manus_tpu.ops.rasterizer.projection import TILE
+
+    scene = random_scene(n, seed=seed)
+    cam = make_test_camera(res, res)
+    proj = project_gaussians(
+        jnp.asarray(scene["means"]), jnp.asarray(scene["cov6"]), cam
+    )
+    ntx = nty = res // TILE
+    bins = bin_gaussians(proj, ntx, nty, tg, 128, 8, 0, multi_frac=mf,
+                         multi_floor=64)
+    rect = np.asarray(proj.tile_rect)
+    vis = np.asarray(proj.visible)
+    depth = np.asarray(proj.depth)
+    rw = rect[:, 2] - rect[:, 0]
+    rh = rect[:, 3] - rect[:, 1]
+    rw_e = np.clip(rw, 1, tg)
+    rh_e = np.minimum(rh, tg // rw_e)
+    rw_k = np.minimum(rw, rw_e)
+    m_cap = min(n, max(64, int(round(n * mf))))  # floor=64 in this test
+    kept0 = rw_k * rh_e
+    is_multi = vis & (kept0 > 1)
+    # size-prioritized admission: largest rects first, then the partial
+    # size class in gaussian-id order
+    sizes = np.arange(2, tg + 1)
+    c = ((kept0[:, None] >= sizes[None, :]) & is_multi[:, None]).sum(0)
+    fit = sizes[c <= m_cap]
+    s_star = fit.min() if len(fit) else tg + 1
+    n_big = (is_multi & (kept0 >= s_star)).sum()
+    part = is_multi & (kept0 == s_star - 1)
+    included = is_multi & (
+        (kept0 >= s_star) | (part & (np.cumsum(part) <= m_cap - n_big))
+    )
+    excl = is_multi & ~included
+    rw_f = np.where(excl, 1, rw_k)
+    rh_f = np.where(excl, 1, rh_e)
+    pairs = []
+    for i in np.where(vis)[0]:
+        for dy in range(rh_f[i]):
+            for dx in range(rw_f[i]):
+                pairs.append(
+                    ((rect[i, 1] + dy) * ntx + rect[i, 0] + dx, depth[i], i)
+                )
+    pairs.sort()
+    cnt = np.zeros(ntx * nty, np.int64)
+    for t, _, _ in pairs:
+        cnt[t] += 1
+    assert (np.asarray(bins.tile_counts) == cnt).all()
+    assert (
+        np.asarray(bins.tile_offsets)
+        == np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ).all()
+    src = np.asarray(bins.pair_src)
+    assert (src[: len(pairs)] == np.array([g for _, _, g in pairs])).all()
+    assert (src[len(pairs):] == -1).all()
