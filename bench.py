@@ -47,8 +47,8 @@ def build_object_workload(backend: str, capacity: int, width: int,
     cfg.dataset.width, cfg.dataset.height = width, height
     cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
     cfg.raster = dataclasses.replace(
-        cfg.raster, backend=backend, tg_max=16, max_pairs_per_tile=4096,
-        chunk=64, pallas_chunk=128, pair_budget_factor=4,
+        cfg.raster, backend=backend, tg_max=64, max_pairs_per_tile=4096,
+        chunk=64, pallas_chunk=128, pair_budget_factor=4, multi_frac=0.25,
     )
     model = init_gaussian_model(pts, cols, capacity)
     cams = stack_cameras(
@@ -80,8 +80,9 @@ def render_gt(model, cameras, views, width, height, bone_tf, backend):
     from manus_tpu.ops.skinning import skin_gaussians
     from manus_tpu.utils.camera import index_camera
 
-    cfg = RasterConfig(backend=backend, tg_max=16, max_pairs_per_tile=4096,
-                       chunk=64, pallas_chunk=128, pair_budget_factor=4)
+    cfg = RasterConfig(backend=backend, tg_max=64, max_pairs_per_tile=4096,
+                       chunk=64, pallas_chunk=128, pair_budget_factor=4,
+                       multi_frac=0.25)
 
     @jax.jit
     def one(cam):
@@ -157,8 +158,8 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     )
     cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
     cfg.raster = dataclasses.replace(
-        cfg.raster, backend=backend, tg_max=16, max_pairs_per_tile=4096,
-        chunk=64, pallas_chunk=128, pair_budget_factor=4,
+        cfg.raster, backend=backend, tg_max=64, max_pairs_per_tile=4096,
+        chunk=64, pallas_chunk=128, pair_budget_factor=4, multi_frac=0.25,
     )
 
     model = init_gaussian_model(pts, cols, capacity, skin_weights=skin)

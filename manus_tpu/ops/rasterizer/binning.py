@@ -3,12 +3,13 @@
 TPU-native replacement for the CUDA duplicate-and-radix-sort binning in
 diff-gaussian-rasterization (see SURVEY.md section 2.9). Design:
 
-  1. expand each gaussian's tile-rect cells in TWO TIERS: every visible
-     gaussian emits its top-left cell ([N] slots), and only multi-tile
-     gaussians — compacted by a cheap [N] sort into a static
-     [multi_frac * N, TG_MAX - 1] block — emit the rest of their rect.
-     Most gaussians touch one tile, so this shrinks the sorted slot
-     count ~4x vs the flat [N, TG_MAX] expansion at equal coverage.
+  1. expand each gaussian's tile-rect cells in SIZE TIERS: every visible
+     gaussian emits its top-left cell ([N] slots); multi-tile gaussians,
+     split into size classes (2..8 cells, 9..TG_MAX cells) and compacted
+     by cheap [N] sorts into static per-class blocks, emit the rest of
+     their rect. Most gaussians touch one tile and most multis 2-8, so
+     this shrinks the sorted slot count ~4-15x vs the flat [N, TG_MAX]
+     expansion at equal coverage.
      Gaussians whose rect exceeds TG_MAX tiles are truncated to a
      SUB-RECT (width clamped to TG_MAX, then rows to TG_MAX // width)
      rather than a raster-order slot prefix, and multis beyond the
@@ -87,16 +88,17 @@ def bin_gaussians(
     rect = proj.tile_rect  # [N, 4], original (unsorted) order
     visible = proj.visible
 
-    # -- 1. two-tier slot expansion. Most gaussians touch exactly ONE
-    # tile, so a flat [N, TG_MAX] expansion sorts mostly-dead slots
-    # (tg_max=64 at 131k gaussians = an 8.4M-slot sort, ~12 ms on v5e).
-    # Instead: tier 1 gives EVERY visible gaussian its top-left rect cell
-    # ([N] slots); tier 2 expands the REMAINING rect cells only for
-    # multi-tile gaussians, compacted (by a cheap [N] sort) into a static
-    # [M = multi_frac*N, TG_MAX-1] block. Multis beyond the M capacity
-    # degrade gracefully to 1-tile (top-left) coverage — their effective
-    # rect is clamped to 1x1, which keeps the bounds histogram (step 3)
-    # exactly consistent — and the lost cells are overflow-counted.
+    # -- 1. size-tiered slot expansion. Most gaussians touch exactly ONE
+    # tile and most multis touch 2-8, so a flat [N, TG_MAX] expansion
+    # sorts mostly-dead slots (tg_max=64 at 131k gaussians = an 8.4M-slot
+    # sort, ~12 ms on v5e). Instead: tier 0 gives EVERY visible gaussian
+    # its top-left rect cell ([N] slots); each higher tier expands the
+    # REMAINING rect cells for one size class of multi-tile gaussians,
+    # compacted (by a cheap [N] sort) into a static [capacity, class_max-1]
+    # block. Multis beyond a class capacity degrade gracefully to 1-tile
+    # (top-left) coverage — their effective rect is clamped to 1x1, which
+    # keeps the bounds histogram (step 3) exactly consistent — and the
+    # lost cells are overflow-counted.
     #
     # Oversized rects truncate to a sub-rect (width clamped first, then
     # rows) so kept cells stay a row-interval x column-interval — the
@@ -109,79 +111,107 @@ def bin_gaussians(
     rh_eff = jnp.minimum(rh, tg_max // rw_eff)
     rw_kept = jnp.minimum(rw, rw_eff)
 
-    # capacity floor: small scenes (and early low-res experiments) have a
-    # high multi fraction; the fractional cap only bites at scale, where
-    # the sort savings matter
-    m_cap = min(n, max(multi_floor, int(round(n * multi_frac))))
     kept0 = rw_kept * rh_eff
     is_multi = visible & (kept0 > 1)
-    # Size-prioritized inclusion: when multis exceed the capacity, the
-    # LARGEST rects keep full expansion (they lose the most cells if
-    # degraded) and the smallest multis degrade first. Scatter-free:
-    # c[s] = #multis of size >= s is a tiny [N, TG-1] compare-reduce;
-    # s* = smallest size that fits, and the partial size class s*-1 is
-    # admitted in gaussian-id order via a cumsum rank.
-    sizes = jnp.arange(2, tg_max + 1, dtype=jnp.int32)  # [TG-1]
-    c = jnp.sum(
-        (kept0[:, None] >= sizes[None, :]) & is_multi[:, None], axis=0
-    )  # [TG-1], non-increasing
-    s_star = jnp.min(jnp.where(c <= m_cap, sizes, tg_max + 1))
-    n_big = jnp.sum(is_multi & (kept0 >= s_star))
-    part = is_multi & (kept0 == s_star - 1)
-    rank_part = jnp.cumsum(part.astype(jnp.int32))  # 1-based inclusive
-    included = is_multi & (
-        (kept0 >= s_star) | (part & (rank_part <= m_cap - n_big))
-    )
-    excluded = is_multi & ~included
-    rw_f = jnp.where(excluded, 1, rw_kept)
-    rh_f = jnp.where(excluded, 1, rh_eff)
-    kept = rw_f * rh_f
+    gids = jnp.arange(n, dtype=jnp.int32)
 
+    # Size-tier ladder: (max cells, static capacity) per multi class.
+    # Small multis (2..8 cells) dominate real scenes, so giving them a
+    # narrow 7-slot block and reserving the wide tg_max-1 block for the
+    # rare big rects keeps the sorted slot count ~Nx4 instead of
+    # N x tg_max. Capacity floors keep small scenes pressure-free; the
+    # fractional caps only bite at scale, where the sort savings matter.
+    small_max = min(8, tg_max)
+    tiers = [(2, small_max,
+              min(n, max(multi_floor, int(round(n * multi_frac)))))]
+    if tg_max > small_max:
+        tiers.append((small_max + 1, tg_max,
+                      min(n, max(multi_floor // 4,
+                                 int(round(n * multi_frac / 8))))))
+
+    def admit(in_class, lo, hi, cap):
+        """Size-prioritized admission within one class: the LARGEST rects
+        keep full expansion (they lose the most cells if degraded) and
+        the smallest degrade first. Scatter-free: c[s] = #class members
+        of size >= s is a tiny [N, hi-lo+1] compare-reduce; s* is the
+        smallest size that fits, and the partial size class s*-1 is
+        admitted in gaussian-id order via a cumsum rank."""
+        sizes = jnp.arange(lo, hi + 1, dtype=jnp.int32)
+        c = jnp.sum(
+            (kept0[:, None] >= sizes[None, :]) & in_class[:, None], axis=0
+        )  # non-increasing in s
+        s_star = jnp.min(jnp.where(c <= cap, sizes, hi + 1))
+        n_big = jnp.sum(in_class & (kept0 >= s_star))
+        part = in_class & (kept0 == s_star - 1)
+        rank = jnp.cumsum(part.astype(jnp.int32))  # 1-based inclusive
+        return in_class & (
+            (kept0 >= s_star) | (part & (rank <= cap - n_big))
+        )
+
+    # tier 0: top-left cell of every visible gaussian
+    tile_blocks = [jnp.where(
+        visible, rect[:, 1] * num_tiles_x + rect[:, 0], num_tiles
+    ).astype(jnp.int32)]
+    depth_blocks = [proj.depth]
+    gidx_blocks = [gids]
+
+    rw_f = jnp.where(visible, 1, 0)
+    rh_f = jnp.where(visible, 1, 0)
+    for lo, hi, cap in tiers:
+        in_class = is_multi & (kept0 >= lo) & (kept0 <= hi)
+        inc = admit(in_class, lo, hi, cap)
+        rw_f = jnp.where(inc, rw_kept, rw_f)
+        rh_f = jnp.where(inc, rh_eff, rh_f)
+        # Compact the admitted class (stable -> gid order), carrying every
+        # per-gaussian field the expansion needs as sort VALUES — TPU row
+        # gathers cost ~30 ns/row regardless of width, so takes of the
+        # compacted block would cost more than the whole [N] sort; extra
+        # sort operands are nearly free by comparison. Then expand rect
+        # slots 1..kept-1 into a [cap, hi-1] block.
+        mkey = jnp.where(inc, 0, 1).astype(jnp.int32)
+        skey, mgid, m_x0, m_y0, m_rw, m_kept, m_depth = jax.lax.sort(
+            (mkey, gids, rect[:, 0], rect[:, 1], rw_kept, kept0,
+             proj.depth),
+            num_keys=1, is_stable=True,
+        )
+        m_ok = skey[:cap] == 0
+        mgid = mgid[:cap]
+        m_x0, m_y0 = m_x0[:cap, None], m_y0[:cap, None]
+        # tail rows past the admitted count are arbitrary (possibly
+        # invisible, rw = 0) — keep the div finite; m_ok masks their slots
+        m_rw = jnp.maximum(m_rw[:cap], 1)
+        m_kept = m_kept[:cap]
+        m_depth = m_depth[:cap]
+        slots = jnp.arange(1, hi, dtype=jnp.int32)  # rect slots 1..hi-1
+        dy = jnp.floor(
+            slots[None, :].astype(jnp.float32)
+            / m_rw[:, None].astype(jnp.float32)
+        ).astype(jnp.int32)
+        dx = slots[None, :] - dy * m_rw[:, None]
+        m_valid = m_ok[:, None] & (slots[None, :] < m_kept[:, None])
+        tile_k = (m_y0 + dy) * num_tiles_x + (m_x0 + dx)
+        tile_blocks.append(
+            jnp.where(m_valid, tile_k, num_tiles).astype(jnp.int32).reshape(-1)
+        )
+        depth_blocks.append(jnp.broadcast_to(
+            m_depth[:, None], (cap, hi - 1)).reshape(-1))
+        gidx_blocks.append(jnp.broadcast_to(
+            mgid[:, None], (cap, hi - 1)).reshape(-1))
+
+    kept = rw_f * rh_f
     overflow = jnp.sum(
         jnp.where(visible, n_slots - kept, 0)
     ).astype(jnp.int32)
-
-    gids = jnp.arange(n, dtype=jnp.int32)
-
-    # tier 1: top-left cell of every visible gaussian
-    tile_1 = jnp.where(
-        visible, rect[:, 1] * num_tiles_x + rect[:, 0], num_tiles
-    ).astype(jnp.int32)
-
-    # tier 2: compact the included multis (stable -> gid order), then
-    # expand their rect slots 1..kept-1
-    mkey = jnp.where(included, 0, 1).astype(jnp.int32)
-    _, mgid = jax.lax.sort((mkey, gids), num_keys=1, is_stable=True)
-    mgid = mgid[:m_cap]  # [M] gaussian ids (tail rows masked below)
-    m_ok = jnp.take(mkey, mgid) == 0
-    m_rect = jnp.take(rect, mgid, axis=0)
-    m_rw = jnp.take(rw_f, mgid)
-    m_kept = jnp.take(kept, mgid)
-    m_depth = jnp.take(proj.depth, mgid)
-    slots = jnp.arange(1, tg_max, dtype=jnp.int32)  # rect slots 1..tg-1
-    dy = jnp.floor(
-        slots[None, :].astype(jnp.float32) / m_rw[:, None].astype(jnp.float32)
-    ).astype(jnp.int32)
-    dx = slots[None, :] - dy * m_rw[:, None]
-    m_valid = m_ok[:, None] & (slots[None, :] < m_kept[:, None])
-    tile_2 = (m_rect[:, 1:2] + dy) * num_tiles_x + (m_rect[:, 0:1] + dx)
-    tile_2 = jnp.where(m_valid, tile_2, num_tiles).astype(jnp.int32)
 
     # -- 2. one three-key sort over the concatenated tiers. Keys
     # (tile, depth, gaussian id) are unique per pair, so no stability is
     # needed and the order equals the old stable slot-order tie-break:
     # within a tile, ascending depth, ties by gaussian id (two pairs of
     # the same gaussian can never share a tile).
-    pair_tile = jnp.concatenate([tile_1, tile_2.reshape(-1)])
-    pair_depth = jnp.concatenate(
-        [proj.depth, jnp.broadcast_to(
-            m_depth[:, None], (m_cap, tg_max - 1)).reshape(-1)]
-    )
-    pair_gidx = jnp.concatenate(
-        [gids, jnp.broadcast_to(
-            mgid[:, None], (m_cap, tg_max - 1)).reshape(-1)]
-    )
-    n_exp = int(pair_tile.shape[0])  # N + M*(TG-1)
+    pair_tile = jnp.concatenate(tile_blocks)
+    pair_depth = jnp.concatenate(depth_blocks)
+    pair_gidx = jnp.concatenate(gidx_blocks)
+    n_exp = int(pair_tile.shape[0])
     _, _, sorted_gidx = jax.lax.sort(
         (pair_tile, pair_depth, pair_gidx), num_keys=3
     )

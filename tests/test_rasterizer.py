@@ -271,23 +271,32 @@ def test_binning_matches_bruteforce(seed, n, res, tg, mf):
     rw_e = np.clip(rw, 1, tg)
     rh_e = np.minimum(rh, tg // rw_e)
     rw_k = np.minimum(rw, rw_e)
-    m_cap = min(n, max(64, int(round(n * mf))))  # floor=64 in this test
     kept0 = rw_k * rh_e
     is_multi = vis & (kept0 > 1)
-    # size-prioritized admission: largest rects first, then the partial
-    # size class in gaussian-id order
-    sizes = np.arange(2, tg + 1)
-    c = ((kept0[:, None] >= sizes[None, :]) & is_multi[:, None]).sum(0)
-    fit = sizes[c <= m_cap]
-    s_star = fit.min() if len(fit) else tg + 1
-    n_big = (is_multi & (kept0 >= s_star)).sum()
-    part = is_multi & (kept0 == s_star - 1)
-    included = is_multi & (
-        (kept0 >= s_star) | (part & (np.cumsum(part) <= m_cap - n_big))
-    )
-    excl = is_multi & ~included
-    rw_f = np.where(excl, 1, rw_k)
-    rh_f = np.where(excl, 1, rh_e)
+
+    def admit(in_class, lo, hi, cap):
+        # size-prioritized admission: largest rects first, then the
+        # partial size class in gaussian-id order
+        sizes = np.arange(lo, hi + 1)
+        c = ((kept0[:, None] >= sizes[None, :]) & in_class[:, None]).sum(0)
+        fit = sizes[c <= cap]
+        s_star = fit.min() if len(fit) else hi + 1
+        n_big = (in_class & (kept0 >= s_star)).sum()
+        part = in_class & (kept0 == s_star - 1)
+        return in_class & (
+            (kept0 >= s_star) | (part & (np.cumsum(part) <= cap - n_big))
+        )
+
+    small_max = min(8, tg)
+    tiers = [(2, small_max, min(n, max(64, round(n * mf))))]
+    if tg > small_max:
+        tiers.append((small_max + 1, tg, min(n, max(16, round(n * mf / 8)))))
+    rw_f = np.where(vis, 1, 0)
+    rh_f = np.where(vis, 1, 0)
+    for lo, hi, cap in tiers:
+        inc = admit(is_multi & (kept0 >= lo) & (kept0 <= hi), lo, hi, cap)
+        rw_f = np.where(inc, rw_k, rw_f)
+        rh_f = np.where(inc, rh_e, rh_f)
     pairs = []
     for i in np.where(vis)[0]:
         for dy in range(rh_f[i]):
