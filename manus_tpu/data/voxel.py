@@ -21,6 +21,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from manus_tpu.ops.grid_sample import maybe_brick_table
 from manus_tpu.ops.knn import knn_indices, nearest_neighbor
 from manus_tpu.train.workloads import VoxelGrid
 
@@ -117,10 +118,12 @@ def build_voxel_grid(
     weights[far, -1] = 1.0
     weights = weights / np.maximum(weights.sum(1, keepdims=True), 1e-8)
 
+    weights = weights.reshape(d, h, w, -1).astype(np.float32)
     return VoxelGrid(
         center=jnp.asarray(center, jnp.float32),
         scale=jnp.asarray(scale),
-        weights=jnp.asarray(weights.reshape(d, h, w, -1).astype(np.float32)),
+        weights=jnp.asarray(weights),
+        brick=maybe_brick_table(weights),
     )
 
 

@@ -42,6 +42,10 @@ class VoxelGrid(NamedTuple):
     center: jax.Array  # [3]
     scale: jax.Array  # [3]
     weights: jax.Array  # [D, H, W, B+1] (incl. background channel)
+    # one-gather 2x2x2 neighborhood table (grid_sample.build_brick_table);
+    # None when disabled or over the memory gate — sampling falls back to
+    # the 8-corner gather
+    brick: Optional[jax.Array] = None
 
 
 class TrainState(NamedTuple):
@@ -80,7 +84,7 @@ def resolve_skin_weights(
     if voxel_grid is not None:
         return skinning_weights_from_voxel_grid(
             model.params.xyz, voxel_grid.center, voxel_grid.scale,
-            voxel_grid.weights,
+            voxel_grid.weights, brick=voxel_grid.brick,
         )
     return model.skin_weights
 

@@ -98,3 +98,34 @@ def test_viewspace_grad_signal_scaling():
     # grads exist where gaussians are visible
     assert np.asarray(stats.grad_accum)[vis].max() > 0
     np.testing.assert_array_equal(np.asarray(stats.denom), vis.astype(np.float32))
+
+
+def test_brick_sampler_matches_reference():
+    """One-gather brick-table sampling (grid_sample.py) must equal the
+    8-corner reference sampler in values and coord gradients, including
+    edge-exact and zero-padded out-of-range points."""
+    import jax
+    import jax.numpy as jnp
+
+    from manus_tpu.ops.grid_sample import (
+        build_brick_table, grid_sample_trilinear, grid_sample_trilinear_brick,
+    )
+
+    rng = np.random.RandomState(0)
+    d, h, w, c = 5, 6, 7, 4
+    grid = jnp.asarray(rng.rand(d, h, w, c), jnp.float32)
+    brick = jnp.asarray(build_brick_table(np.asarray(grid)))
+    coords = jnp.asarray(np.concatenate([
+        rng.uniform(-1, 1, (500, 3)),
+        rng.uniform(-1.6, 1.6, (500, 3)),
+        [[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0], [1.0, -1.0, 0.3]],
+    ]).astype(np.float32))
+    ref = grid_sample_trilinear(grid, coords)
+    new = grid_sample_trilinear_brick(brick, (d, h, w, c), coords)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(new), atol=2e-6)
+    cot = jnp.asarray(rng.rand(coords.shape[0], c), jnp.float32)
+    g_ref = jax.grad(
+        lambda x: jnp.vdot(grid_sample_trilinear(grid, x), cot))(coords)
+    g_new = jax.grad(lambda x: jnp.vdot(
+        grid_sample_trilinear_brick(brick, (d, h, w, c), x), cot))(coords)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_new), atol=2e-5)
