@@ -303,10 +303,12 @@ def run_render_path(cfg, out_dir, video_name="novel_path.mp4",
     raster_cfg = make_raster_config(cfg)
     import jax
 
+    # vg as a traced arg: closure constants land in the compile payload
+    # (a brick table is ~0.6GB at 96^3)
     @jax.jit
-    def render_one(model, cam_tree, bone_tf):
+    def _render_one(model, cam_tree, bone_tf, vg):
         params = model.params
-        skin_w = resolve_skin_weights(model, voxel_grid)
+        skin_w = resolve_skin_weights(model, vg)
         cov = get_covariance(params, isotropic=cfg.model.isotropic_scaling)
         if bone_tf is not None:
             sk = skin_gaussians(params.xyz, cov, skin_w, bone_tf)
@@ -320,6 +322,9 @@ def run_render_path(cfg, out_dir, video_name="novel_path.mp4",
             config=raster_cfg,
         )
         return out.render
+
+    def render_one(model, cam_tree, bone_tf):
+        return _render_one(model, cam_tree, bone_tf, voxel_grid)
 
     frames = []
     n = min(cfg.render_frames, len(cams))
@@ -392,12 +397,13 @@ def run_test(cfg, out_dir):
     print(f"loaded {path} ({int(model.num_active())} gaussians)")
     raster_cfg = make_raster_config(cfg)
 
+    # vg as a traced arg (see run_render_path)
     @jax.jit
-    def render_one(model, cam_tree, bone_tf):
+    def _render_one(model, cam_tree, bone_tf, vg):
         params = model.params
         cov = get_covariance(params, isotropic=cfg.model.isotropic_scaling)
         if articulated:
-            skin_w = resolve_skin_weights(model, voxel_grid)
+            skin_w = resolve_skin_weights(model, vg)
             sk = skin_gaussians(params.xyz, cov, skin_w, bone_tf)
             posed, cov, tf = sk.posed_xyz, sk.posed_cov, sk.tf
         else:
@@ -409,6 +415,9 @@ def run_test(cfg, out_dir):
             config=raster_cfg,
         )
         return out.render, posed
+
+    def render_one(model, cam_tree, bone_tf):
+        return _render_one(model, cam_tree, bone_tf, voxel_grid)
 
     res_dir = os.path.join(out_dir, "results", "eval_results")
     os.makedirs(res_dir, exist_ok=True)

@@ -207,13 +207,14 @@ def make_composite_finetune_step(
         if n != "lpips_loss"
     )
 
+    # vg as a traced arg: closure constants land in the compile payload
     @jax.jit
-    def step(state, frozen: GaussianModel, batch):
+    def _step(state, frozen: GaussianModel, batch, vg):
         def loss_fn(params):
             train_model = state.model._replace(params=params)
             hand = train_model if optimize == "hand" else frozen
             obj = frozen if optimize == "hand" else train_model
-            skin_w = resolve_skin_weights(hand, voxel_grid)
+            skin_w = resolve_skin_weights(hand, vg)
             h_xyz, h_cov, h_tf = forward_gaussians(
                 hand.params, hand.active, skin_w, batch["bone_tf"], hand_opts
             )
@@ -265,5 +266,8 @@ def make_composite_finetune_step(
             step=state.step + 1,
         )
         return new_state, metrics
+
+    def step(state, frozen, batch):
+        return _step(state, frozen, batch, voxel_grid)
 
     return step

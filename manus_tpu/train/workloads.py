@@ -214,11 +214,16 @@ def make_train_step(
     # NOTE: no buffer donation — freshly-initialised m/v/stats zeros can
     # alias the same constant buffer and XLA rejects double donation. Worth
     # revisiting with explicit copies if HBM pressure shows up at scale.
+    # The voxel grid travels as a traced ARGUMENT, not a closure constant:
+    # closed-over arrays are serialized into the compile payload, and the
+    # brick table alone is ~0.6GB at 96^3 (the tunneled platform rejects
+    # such compile requests outright, and baked-in constants bloat the
+    # executable everywhere else).
     @jax.jit
-    def train_step(state: TrainState, batch):
+    def _train_step(state: TrainState, batch, vg: Optional[VoxelGrid]):
         v = batch["rgb"].shape[0]
         n = state.model.capacity
-        skin_w = resolve_skin_weights(state.model, voxel_grid)
+        skin_w = resolve_skin_weights(state.model, vg)
         m2d_zero = jnp.zeros((v, n, 2), jnp.float32)
 
         argnums = (0, 1, 3) if train_sw else (0, 1)
@@ -427,6 +432,9 @@ def make_train_step(
         )
         return new_state, metrics
 
+    def train_step(state: TrainState, batch):
+        return _train_step(state, batch, voxel_grid)
+
     return train_step
 
 
@@ -470,9 +478,11 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
     opts = cfg.model
     raster_cfg = make_raster_config(cfg)
 
+    # voxel grid as a traced arg, not a closure constant (see _train_step)
     @jax.jit
-    def eval_step(model: GaussianModel, cam: Camera, rgb, mask, bg, bone_tf):
-        skin_w = resolve_skin_weights(model, voxel_grid)
+    def _eval_step(model: GaussianModel, cam: Camera, rgb, mask, bg,
+                   bone_tf, vg: Optional[VoxelGrid]):
+        skin_w = resolve_skin_weights(model, vg)
         posed_xyz, posed_cov, tf = forward_gaussians(
             model.params, model.active, skin_w, bone_tf, opts
         )
@@ -501,6 +511,7 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
         metrics["pair_overflow"] = out.overflow
         return metrics
 
-    if articulated:
-        return eval_step
-    return functools.partial(eval_step, bone_tf=None)
+    def eval_step(model, cam, rgb, mask, bg, bone_tf=None):
+        return _eval_step(model, cam, rgb, mask, bg, bone_tf, voxel_grid)
+
+    return eval_step
