@@ -85,9 +85,12 @@ def build_brick_table(grid: np.ndarray) -> np.ndarray:
 
 
 def maybe_brick_table(grid, limit_bytes: int = 2 << 30):
-    """build_brick_table gated on its 8x memory cost (None above limit)."""
+    """build_brick_table gated on its 8x memory cost (None above limit;
+    also None for degenerate <2-cell grids, which have no 2x2x2 bricks)."""
     g = np.asarray(grid)
     d, h, w, c = g.shape
+    if min(d, h, w) < 2:
+        return None
     if (d - 1) * (h - 1) * (w - 1) * 8 * c * 4 > limit_bytes:
         return None
     return jnp.asarray(build_brick_table(g))

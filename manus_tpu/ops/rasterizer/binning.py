@@ -122,8 +122,10 @@ def bin_gaussians(
     # N x tg_max. Capacity floors keep small scenes pressure-free; the
     # fractional caps only bite at scale, where the sort savings matter.
     small_max = min(8, tg_max)
-    tiers = [(2, small_max,
-              min(n, max(multi_floor, int(round(n * multi_frac)))))]
+    tiers = []
+    if tg_max >= 2:
+        tiers.append((2, small_max,
+                      min(n, max(multi_floor, int(round(n * multi_frac))))))
     if tg_max > small_max:
         tiers.append((small_max + 1, tg_max,
                       min(n, max(multi_floor // 4,
