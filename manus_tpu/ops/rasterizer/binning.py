@@ -127,9 +127,13 @@ def bin_gaussians(
         tiers.append((2, small_max,
                       min(n, max(multi_floor, int(round(n * multi_frac))))))
     if tg_max > small_max:
-        tiers.append((small_max + 1, tg_max,
-                      min(n, max(multi_floor // 4,
-                                 int(round(n * multi_frac / 8))))))
+        # multi_frac >= 1 means NO capacity pressure in either class; the
+        # /8 heuristic (big rects are ~8x rarer than small multis) only
+        # shapes the static block when a fractional cap was asked for
+        cap_big = n if multi_frac >= 1.0 else min(
+            n, max(multi_floor // 4, int(round(n * multi_frac / 8)))
+        )
+        tiers.append((small_max + 1, tg_max, cap_big))
 
     def admit(in_class, lo, hi, cap):
         """Size-prioritized admission within one class: the LARGEST rects

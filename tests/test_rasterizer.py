@@ -290,7 +290,8 @@ def test_binning_matches_bruteforce(seed, n, res, tg, mf):
     small_max = min(8, tg)
     tiers = [(2, small_max, min(n, max(64, round(n * mf))))]
     if tg > small_max:
-        tiers.append((small_max + 1, tg, min(n, max(16, round(n * mf / 8)))))
+        cap_big = n if mf >= 1.0 else min(n, max(16, round(n * mf / 8)))
+        tiers.append((small_max + 1, tg, cap_big))
     rw_f = np.where(vis, 1, 0)
     rh_f = np.where(vis, 1, 0)
     for lo, hi, cap in tiers:
