@@ -83,6 +83,9 @@ class LossConfig:
     # on -> seeded random-feature VGG16 (see train/lpips.py docstring).
     lpips_weights: str = ""
     lpips_fallback: bool = True
+    # OPT-IN perf knob (k>1 average-pools pred/gt kxk before the VGG;
+    # reference runs LPIPS at full res — see losses.compute_losses)
+    lpips_downsample: int = 1
 
 
 @dataclasses.dataclass

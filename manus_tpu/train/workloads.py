@@ -183,6 +183,7 @@ def make_train_step(
                 out.render, rgb, scaling_full, active_full, loss_names,
                 loss_weights, opts.condition_number,
                 lpips_params=lpips_params, lpips_enabled=lpips_on,
+                lpips_downsample=cfg.loss.lpips_downsample,
             )
             return total, (out.radii, out.render, parts, out.overflow)
 

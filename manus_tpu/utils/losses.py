@@ -122,6 +122,7 @@ def compute_losses(
     condition_number: float = 0.4,
     lpips_params: dict | None = None,
     lpips_enabled: jax.Array | None = None,
+    lpips_downsample: int = 1,
 ) -> tuple[jax.Array, dict]:
     """Weighted multi-loss as in reference base.py:323-365.
 
@@ -129,6 +130,10 @@ def compute_losses(
     lpips_params: VGG16 weight pytree (train/lpips.py); lpips_enabled is a
     traced bool implementing the reference's start_lpips_iter gate
     (base.py:333-341) — lax.cond skips the VGG forward before the gate.
+    lpips_downsample k>1 average-pools pred/gt kxk before the VGG — an
+    OPT-IN deviation from the reference (which runs LPIPS at full
+    resolution): the batch-1 VGG f+b costs ~14.5 ms at 512^2 on v5e and
+    scales ~1/k^2.
     """
     losses = {}
     for name in loss_names:
@@ -147,7 +152,19 @@ def compute_losses(
             else:
                 from manus_tpu.train.lpips import lpips_distance
 
+                def _pool(img, k):
+                    h, w = img.shape[0] // k * k, img.shape[1] // k * k
+                    return img[:h, :w].reshape(
+                        h // k, k, w // k, k, img.shape[2]
+                    ).mean(axis=(1, 3))
+
                 def _lpips(_):
+                    if lpips_downsample > 1:
+                        return lpips_distance(
+                            lpips_params,
+                            _pool(pred_image, lpips_downsample),
+                            _pool(gt_image, lpips_downsample),
+                        )
                     return lpips_distance(lpips_params, pred_image, gt_image)
 
                 if lpips_enabled is None:
