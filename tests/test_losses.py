@@ -57,3 +57,30 @@ def test_ssim_gradient_finite():
     g = jax.grad(lambda x: L.ssim(x, b))(a)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_lpips_downsample_knob():
+    """lpips_downsample k>1 pools before the VGG: values stay close to the
+    full-res distance and the default k=1 path is untouched."""
+    import jax.numpy as jnp
+
+    from manus_tpu.train.lpips import resolve_lpips_params
+    from manus_tpu.utils import losses as L
+
+    params = resolve_lpips_params("", allow_fallback=True,
+                                  log=lambda *a: None)
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    sc = jnp.asarray(rng.rand(10, 3), jnp.float32)
+    ac = jnp.ones(10, bool)
+    vals = {}
+    for k in (1, 2):
+        _, parts = L.compute_losses(
+            pred, gt, sc, ac, ("rgb_loss", "lpips_loss"), (0.8, 0.1),
+            lpips_params=params, lpips_enabled=jnp.asarray(True),
+            lpips_downsample=k,
+        )
+        vals[k] = float(parts["lpips_loss"])
+    assert vals[1] > 0 and vals[2] > 0
+    assert abs(vals[1] - vals[2]) < 0.5 * vals[1]
