@@ -51,7 +51,12 @@ class RenderOutput(NamedTuple):
     radii: jax.Array  # [N] int32
     visible: jax.Array  # [N] bool  (radii > 0)
     t_final: jax.Array  # [H, W] final transmittance
-    overflow: jax.Array  # [] int32 pairs dropped by tg_max truncation
+    overflow: jax.Array  # [] int32 total pairs dropped in binning
+    # portion of `overflow` from the per-tile max_pairs cap (farthest
+    # pairs of depth-sorted segments — usually past the early-termination
+    # horizon, so harmless in opaque scenes; the remainder is genuine
+    # coverage loss worth acting on)
+    overflow_far: jax.Array  # [] int32
 
 
 def _resolve_backend(backend: str) -> str:
@@ -176,6 +181,7 @@ def render_gaussians(
             proj, colors, opacity, bg, w, h, row_chunk=row_chunk
         )
         overflow = jnp.zeros((), jnp.int32)
+        overflow_far = jnp.zeros((), jnp.int32)
     else:
         ntx = (w + TILE - 1) // TILE
         nty = (h + TILE - 1) // TILE
@@ -235,6 +241,7 @@ def render_gaussians(
             rgb_tiles, t_tiles, bg, ntx, nty, TILE, w, h
         )
         overflow = bins.overflow_count
+        overflow_far = bins.overflow_far
 
     return RenderOutput(
         render=img,
@@ -242,4 +249,5 @@ def render_gaussians(
         visible=proj.visible,
         t_final=jax.lax.stop_gradient(t_final),
         overflow=overflow,
+        overflow_far=overflow_far,
     )

@@ -69,6 +69,13 @@ class TileBins(NamedTuple):
     tile_offsets: jax.Array
     tile_counts: jax.Array
     overflow_count: jax.Array
+    # portion of overflow_count from the per-tile max_pairs cap: those
+    # drops are the FARTHEST pairs of depth-sorted segments, which
+    # forward early-termination usually never reaches — harmless in
+    # opaque scenes, unlike the coverage-loss remainder
+    # (overflow_count - overflow_far: tg_max sub-rect truncation,
+    # multi-capacity degradation, pair-budget tile drops).
+    overflow_far: jax.Array
 
 
 def bin_gaussians(
@@ -258,14 +265,16 @@ def bin_gaussians(
     overflow = overflow + jnp.sum((bounds[1:] - bounds[:-1]) - counts).astype(
         jnp.int32
     )
+    overflow_far = jnp.zeros((), jnp.int32)
     if max_pairs_per_tile > 0:
         # Per-tile cap: truncate back-to-front (segments are depth-ordered,
         # farthest pairs drop first) and COUNT the truncation, so the xla
         # backend's static loop bound and the pallas backend composite the
         # same clamped segments and the overflow diagnostic sees it.
-        overflow = overflow + jnp.sum(
+        overflow_far = jnp.sum(
             jnp.maximum(counts - max_pairs_per_tile, 0)
         ).astype(jnp.int32)
+        overflow = overflow + overflow_far
         counts = jnp.minimum(counts, max_pairs_per_tile)
 
     total_valid = jnp.minimum(bounds[num_tiles], p_budget)
@@ -283,4 +292,5 @@ def bin_gaussians(
         tile_offsets=starts,
         tile_counts=counts,
         overflow_count=overflow,
+        overflow_far=overflow_far,
     )

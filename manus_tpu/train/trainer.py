@@ -332,7 +332,11 @@ class Trainer:
                     f"psnr={float(metrics['psnr']):.2f} "
                     f"active={int(metrics['num_active'])} it/s={ips:.1f} "
                     f"maxrad={int(metrics['max_radius'])} "
-                    f"ovf={int(metrics['pair_overflow'])}"
+                    # ovf: total dropped pairs; far: the per-tile-cap
+                    # portion (farthest pairs, usually past early exit).
+                    # ovf - far is genuine coverage loss worth acting on.
+                    f"ovf={int(metrics['pair_overflow'])} "
+                    f"far={int(metrics['pair_overflow_far'])}"
                 )
             if (
                 cfg.trainer.val_every

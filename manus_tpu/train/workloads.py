@@ -185,7 +185,8 @@ def make_train_step(
                 lpips_params=lpips_params, lpips_enabled=lpips_on,
                 lpips_downsample=cfg.loss.lpips_downsample,
             )
-            return total, (out.radii, out.render, parts, out.overflow)
+            return total, (out.radii, out.render, parts,
+                           jnp.stack([out.overflow, out.overflow_far]))
 
         # Unrolled static loop over views, NOT vmap: batching the binning
         # sort/scatter de-optimises their XLA lowering (2x slower even at
@@ -416,7 +417,8 @@ def make_train_step(
             psnr=psnr_val,
             num_active=jnp.sum(new_active),
             mask_pruned=jnp.sum(outside),
-            pair_overflow=jnp.max(aux["overflow"]),
+            pair_overflow=jnp.max(aux["overflow"][..., 0]),
+            pair_overflow_far=jnp.max(aux["overflow"][..., 1]),
             max_radius=jnp.max(aux["radii"]),
         )
         for k, val in aux["parts"].items():
@@ -510,6 +512,7 @@ def make_eval_step(cfg: ExperimentConfig, articulated: bool,
         # pair-budget overflow diagnostic: surfaced in val_results.csv so
         # raster.pair_budget_factor tuning is a config change, not a probe
         metrics["pair_overflow"] = out.overflow
+        metrics["pair_overflow_far"] = out.overflow_far
         return metrics
 
     def eval_step(model, cam, rgb, mask, bg, bone_tf=None):
