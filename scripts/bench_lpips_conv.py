@@ -1,0 +1,136 @@
+"""Microbenchmark: VGG-LPIPS conv lowering strategies on the real TPU.
+
+The flagship hand step pays ~14.5 ms for the LPIPS VGG16 fwd+bwd at 512^2
+(reference trains with VGG LPIPS after step 1000, base.py:333-341). XLA's
+batch-1 conv lowering measured ~20 TFLOP/s regardless of fp32/bf16 — far
+off the MXU roof. Candidate fix: express each 3x3 SAME conv as 9 shifted
+[H*W, Ci] x [Ci, Co] matmuls (pure dot_generals the MXU tiles well).
+
+Timing follows CLAUDE.md: traced-bound fori_loop chains, per-iter =
+(t(n=22) - t(n=2)) / 20 with a host readback inside the timed region
+(block_until_ready is unreliable through the tunnel).
+
+Run: python scripts/bench_lpips_conv.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from manus_tpu.train.lpips import (  # noqa: E402
+    VGG_STAGES,
+    SHIFT,
+    SCALE,
+    random_lpips_params,
+)
+
+H = W = 512
+
+
+def conv_xla(x, w, b):
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out + b
+
+
+def make_conv_mm(dtype):
+    def conv_mm(x, w, b):
+        n, h, ww, ci = x.shape
+        co = w.shape[-1]
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        wd = w.astype(dtype)
+        acc = jnp.zeros((n, h, ww, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                xs = xp[:, dy : dy + h, dx : dx + ww, :]
+                acc = acc + jax.lax.dot_general(
+                    xs,
+                    wd[dy, dx],
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return acc + b
+
+    return conv_mm
+
+
+def make_lpips(conv):
+    def vgg_feats(params, x):
+        x = (x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE)
+        feats = []
+        for si, (_, n_layers) in enumerate(VGG_STAGES):
+            for li in range(n_layers):
+                x = jax.nn.relu(conv(x, params[f"conv{si}_{li}_w"], params[f"conv{si}_{li}_b"]))
+            feats.append(x)
+            if si < len(VGG_STAGES) - 1:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                )
+        return feats
+
+    def dist(params, img1, img2):
+        f1 = vgg_feats(params, (img1[None] * 2 - 1).astype(jnp.float32))
+        f2 = vgg_feats(params, (img2[None] * 2 - 1).astype(jnp.float32))
+        total = jnp.asarray(0.0)
+        for k, (a, b) in enumerate(zip(f1, f2)):
+            a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+            b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+            total = total + jnp.mean(
+                jnp.sum((a - b) ** 2 * params[f"lin{k}_w"][None, None, None, :], -1)
+            )
+        return total
+
+    return dist
+
+
+def bench(name, dist_fn, params, img1, img2):
+    grad_fn = jax.value_and_grad(dist_fn, argnums=1)
+
+    @jax.jit
+    def chain(n, x1, x2):
+        def body(_, carry):
+            v, g = grad_fn(params, carry, x2)
+            return carry + 1e-6 * g + 1e-9 * v
+
+        return jax.lax.fori_loop(0, n, body, x1)
+
+    t0 = time.time()
+    np.asarray(chain(jnp.asarray(2), img1, img2)[0, 0])  # compile + n=2
+    t_compile = time.time() - t0
+
+    def timed(n):
+        t = time.time()
+        np.asarray(chain(jnp.asarray(n), img1, img2)[0, 0])
+        return time.time() - t
+
+    t2 = min(timed(2) for _ in range(2))
+    t22 = min(timed(22) for _ in range(2))
+    per = (t22 - t2) / 20 * 1e3
+    print(f"{name:28s} {per:7.2f} ms/iter (compile {t_compile:.0f}s)", flush=True)
+    return per
+
+
+def main():
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    params = random_lpips_params(0)
+    rng = np.random.RandomState(3)
+    img1 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+    r = {}
+    r["xla_conv_fp32"] = bench("xla conv fp32 (current)", make_lpips(conv_xla), params, img1, img2)
+    r["mm_fp32"] = bench("shifted-matmul fp32", make_lpips(make_conv_mm(jnp.float32)), params, img1, img2)
+    r["mm_bf16"] = bench("shifted-matmul bf16", make_lpips(make_conv_mm(jnp.bfloat16)), params, img1, img2)
+    best = min(r, key=r.get)
+    print(f"best: {best}  ({r[best]:.2f} ms vs current {r['xla_conv_fp32']:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()
