@@ -472,14 +472,32 @@ def run_test(cfg, out_dir):
 
 
 def main(argv=None):
-    from manus_tpu.config import CONFIGS, apply_overrides, save_config
+    from manus_tpu.config import (
+        CONFIGS, apply_overrides, load_config_snapshot, save_config,
+    )
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config-name", required=True, choices=CONFIGS)
+    parser.add_argument(
+        "--config-name", required=True,
+        help="experiment name (%s) or a run directory / config.json "
+        "snapshot to resume from" % "|".join(CONFIGS),
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    cfg = CONFIGS[args.config_name]()
+    if args.config_name in CONFIGS:
+        cfg = CONFIGS[args.config_name]()
+    elif os.path.exists(args.config_name):
+        # resume-from-run-dir (reference --config-path $EXP_DIR
+        # --config-name config.yaml, inference_hand.sh:23-25): reload the
+        # snapshot, then let overrides refine it
+        cfg = load_config_snapshot(args.config_name)
+        print(f"resumed config snapshot from {args.config_name}")
+    else:
+        parser.error(
+            f"--config-name must be one of {sorted(CONFIGS)} or an "
+            f"existing run dir / config.json (got {args.config_name!r})"
+        )
     apply_overrides(cfg, args.overrides)
 
     if cfg.trainer.distributed:

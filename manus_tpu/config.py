@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Optional, Tuple
 
 from manus_tpu.models.gaussians import GaussianOpts
@@ -82,6 +83,11 @@ class LossConfig:
     # LPIPS weights npz (scripts/convert_lpips_weights.py). Empty + fallback
     # on -> seeded random-feature VGG16 (see train/lpips.py docstring).
     lpips_weights: str = ""
+    # Separate AlexNet weights for the val/test METRIC (the reference
+    # evaluates with AlexNet while training with VGG —
+    # loss_utils.py:17-19). Empty + fallback on -> seeded random-feature
+    # AlexNet; val_results.csv's lpips_mode column records which.
+    lpips_eval_weights: str = ""
     lpips_fallback: bool = True
     # OPT-IN perf knob (k>1 average-pools pred/gt kxk before the VGG;
     # reference runs LPIPS at full res — see losses.compute_losses)
@@ -199,7 +205,24 @@ CONFIGS = {
 }
 
 
-def _coerce(value: str, old: Any) -> Any:
+def _tuple_element_type(old: tuple, ftype: str):
+    """Element type for a tuple override. A non-empty current value knows
+    its own type; an EMPTY default must fall back to the field annotation
+    (e.g. "Tuple[float, ...]") — previously old[0] was assumed to exist and
+    empty-tuple overrides silently produced string tuples."""
+    if old:
+        return type(old[0])
+    t = (ftype or "").lower()
+    if "float" in t:
+        return float
+    if "int" in t:
+        return int
+    if "bool" in t:
+        return lambda v: v.lower() in ("1", "true", "yes")
+    return str
+
+
+def _coerce(value: str, old: Any, ftype: str = "") -> Any:
     if isinstance(old, bool):
         return value.lower() in ("1", "true", "yes")
     if isinstance(old, int):
@@ -208,8 +231,8 @@ def _coerce(value: str, old: Any) -> Any:
         return float(value)
     if isinstance(old, tuple):
         parts = [p for p in value.strip("[]()").split(",") if p]
-        elt = old[0] if old else ""
-        return tuple(type(elt)(p.strip()) for p in parts)
+        elt = _tuple_element_type(old, ftype)
+        return tuple(elt(p.strip()) for p in parts)
     return value
 
 
@@ -227,7 +250,7 @@ def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentCo
         leaf = parts[-1]
         old = getattr(obj, leaf)
         if dataclasses.is_dataclass(obj) and obj.__dataclass_fields__[leaf].type:
-            new = _coerce(value, old)
+            new = _coerce(value, old, str(obj.__dataclass_fields__[leaf].type))
         else:
             new = value
         try:
@@ -244,3 +267,37 @@ def config_to_dict(cfg) -> dict:
 def save_config(cfg: ExperimentConfig, path: str):
     with open(path, "w") as f:
         json.dump(config_to_dict(cfg), f, indent=2, default=str)
+
+
+def _apply_dict(obj, data: dict):
+    """Recursively restore a dataclass tree from a config_to_dict dict
+    (tuples come back as JSON lists; nested dataclasses as dicts).
+    Unknown keys are ignored so old snapshots keep loading after config
+    fields are added."""
+    for key, val in data.items():
+        if not hasattr(obj, key):
+            continue
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            _apply_dict(cur, val)
+            continue
+        if isinstance(cur, tuple) and isinstance(val, list):
+            val = tuple(val)
+        try:
+            object.__setattr__(obj, key, val)
+        except Exception:
+            setattr(obj, key, val)
+    return obj
+
+
+def load_config_snapshot(path: str) -> ExperimentConfig:
+    """Resume a run from its config.json snapshot (the reference resumes
+    with `--config-path $EXP_DIR --config-name config.yaml`,
+    /root/reference/scripts/train/inference_hand.sh:23-25). Accepts the
+    snapshot file or the run directory containing it."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "config.json")
+    with open(path) as f:
+        data = json.load(f)
+    cfg = ExperimentConfig()
+    return _apply_dict(cfg, data)

@@ -140,15 +140,26 @@ class Trainer:
             )
             self.state = replicate_state(self.state, self.mesh)
         # LPIPS: resolved once when the loss is configured (or a weights
-        # file is given); the same params feed the training loss (after
-        # start_lpips_iter) and the val metric. See train/lpips.py.
+        # file is given). Two nets, as in the reference
+        # (loss_utils.py:17-19): VGG16 feeds the training loss (after
+        # start_lpips_iter), AlexNet feeds the val METRIC. Each falls back
+        # to a seeded random-feature net when its weights npz is absent;
+        # the provenance mode is written to val_results.csv per row.
         self.lpips_params = None
+        self.lpips_eval_params = None
+        self.lpips_mode = self.lpips_eval_mode = "off"
         if "lpips_loss" in cfg.loss.losses or cfg.loss.lpips_weights:
-            from manus_tpu.train.lpips import resolve_lpips_params
+            from manus_tpu.train.lpips import resolve_lpips_params_mode
 
-            self.lpips_params = resolve_lpips_params(
+            self.lpips_params, self.lpips_mode = resolve_lpips_params_mode(
                 cfg.loss.lpips_weights, cfg.loss.lpips_fallback,
-                seed=cfg.trainer.seed,
+                seed=cfg.trainer.seed, arch="vgg",
+            )
+            self.lpips_eval_params, self.lpips_eval_mode = (
+                resolve_lpips_params_mode(
+                    cfg.loss.lpips_eval_weights, cfg.loss.lpips_fallback,
+                    seed=cfg.trainer.seed, arch="alex",
+                )
             )
         self.train_step = make_train_step(
             cfg, dataset.extent, articulated, voxel_grid, mesh=self.mesh,
@@ -158,12 +169,12 @@ class Trainer:
             cfg, dataset.extent
         )
         self.eval_step = make_eval_step(
-            cfg, articulated, voxel_grid, lpips_params=self.lpips_params
+            cfg, articulated, voxel_grid, lpips_params=self.lpips_eval_params
         )
         self.val_csv = MetricsCSV(
             os.path.join(self.out_dir, "results", "val_results.csv"),
             ["name", "step", "psnr", "ssim", "lpips", "rendering_time",
-             "pair_overflow"],
+             "pair_overflow", "lpips_mode"],
         )
         self.train_csv = MetricsCSV(
             os.path.join(self.out_dir, "logs", "train_metrics.csv"),
@@ -436,7 +447,8 @@ class Trainer:
                     self._dump_gaussians(out, val_dir, step)
         self.val_csv.write(
             [self.cfg.trainer.exp_name, step, np.mean(psnrs), np.mean(ssims),
-             np.mean(lpipss), np.mean(times), int(np.max(ovfs))]
+             np.mean(lpipss), np.mean(times), int(np.max(ovfs)),
+             self.lpips_eval_mode]
         )
         log(
             f"[val] step {step}: psnr={np.mean(psnrs):.2f} "

@@ -149,6 +149,36 @@ def test_cli_test_modes(cli_out, tmp_path):
     )
 
 
+def test_cli_resume_from_run_dir(cli_out):
+    """Resume a run by pointing --config-name at its run directory
+    (reference --config-path $EXP_DIR --config-name config.yaml,
+    inference_hand.sh:23-25): the snapshot supplies every override, the
+    checkpoint resolves to `best`, and training continues."""
+    base = os.path.join(cli_out, "manus_tpu", "synthetic")
+    run_dir = os.path.join(base, "obj")
+    n_ckpt = len(os.listdir(os.path.join(run_dir, "checkpoints")))
+    main_mod.main([
+        "--config-name", run_dir,
+        # only the resume-specific refinements — the rest (scale, raster
+        # backend, exp layout) comes from the snapshot (no COMMON here
+        # by design); same exp_name = continue in the same run dir, so
+        # checkpoint=best resolves against the previous run's checkpoints
+        "trainer.max_steps=2", "trainer.checkpoint_every=0",
+        "checkpoint=best",
+    ])
+    import json
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        snap = json.load(f)
+    # values that only the obj snapshot (not defaults) could have supplied
+    assert snap["dataset"]["width"] == 64
+    assert snap["capacity"] == 1024
+    assert snap["raster"]["backend"] == "xla"
+    assert snap["trainer"]["max_steps"] == 2  # the refinement applied
+    # the continued run saved its final checkpoint alongside the old ones
+    assert len(os.listdir(os.path.join(run_dir, "checkpoints"))) > n_ckpt
+
+
 def test_cli_make_path_roundtrip(cli_out, tmp_path):
     """In-repo camera-path generation (reference bl_render.py's role):
     make_path writes the pkl contract and render_path consumes it."""

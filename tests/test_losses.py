@@ -59,6 +59,45 @@ def test_ssim_gradient_finite():
     assert float(jnp.abs(g).max()) > 0
 
 
+def test_lpips_alexnet_arch():
+    """AlexNet eval backbone (reference evaluates LPIPS with alexnet,
+    loss_utils.py:17-19): feature pyramid shapes match torchvision's
+    features[0..11] slices, the distance is a proper premetric, and arch
+    inference distinguishes the two key schemes."""
+    import jax.numpy as jnp
+
+    from manus_tpu.train import lpips as lp
+
+    alex = lp.random_lpips_params(0, arch="alex")
+    vgg = lp.random_lpips_params(0, arch="vgg")
+    assert lp.infer_arch(alex) == "alex"
+    assert lp.infer_arch(vgg) == "vgg"
+    # torchvision AlexNet feature map sizes at 64x64 input:
+    # conv1 11/4 p2 -> 15; pool3/2 -> 7; conv2 -> 7; pool -> 3; conv3..5 -> 3
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    feats = lp.backbone_features(alex, x, "alex")
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (1, 15, 15, 64), (1, 7, 7, 192), (1, 3, 3, 384),
+        (1, 3, 3, 256), (1, 3, 3, 256),
+    ]
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    d_ab = float(lp.lpips_distance(alex, a, b))
+    d_aa = float(lp.lpips_distance(alex, a, a))
+    assert d_ab > 0.0 and abs(d_aa) < 1e-6
+    # the two backbones are genuinely different computations
+    assert abs(d_ab - float(lp.lpips_distance(vgg, a, b))) > 1e-6
+    # provenance modes
+    _, mode = lp.resolve_lpips_params_mode("", True, log=lambda *a: None,
+                                           arch="alex")
+    assert mode == "alex:random-feature"
+    _, mode_off = lp.resolve_lpips_params_mode("", False,
+                                               log=lambda *a: None)
+    assert mode_off == "off"
+
+
 def test_lpips_downsample_knob():
     """lpips_downsample k>1 pools before the VGG: values stay close to the
     full-res distance and the default k=1 path is untouched."""

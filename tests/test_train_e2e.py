@@ -214,12 +214,19 @@ def test_lpips_wired_into_training(tmp_path, static_ds):
     _, m_gate = gated_step(tr_gate.state, batch)
     assert float(m_gate["loss/lpips_loss"]) == 0.0
 
-    # val CSV carries the real metric
+    # val CSV carries the metric, evaluated with the ALEXNET net (the
+    # reference's eval arch, loss_utils.py:17-19) and marked with its
+    # provenance so random-feature values can never read as real LPIPS
+    from manus_tpu.train.lpips import infer_arch
+
+    assert infer_arch(tr_lp.lpips_params) == "vgg"  # loss net
+    assert infer_arch(tr_lp.lpips_eval_params) == "alex"  # metric net
     tr_lp.validate(0, log=lambda *a: None)
     with open(os.path.join(str(tmp_path / "lp"), "results",
                            "val_results.csv")) as f:
         rows = list(csv.DictReader(f))
     assert float(rows[-1]["lpips"]) > 0.0
+    assert rows[-1]["lpips_mode"] == "alex:random-feature"
 
 
 def test_heldout_validation_and_artifacts(tmp_path):
