@@ -66,7 +66,8 @@ def build_object_workload(backend: str, capacity: int, width: int,
     return train_step, state, batch
 
 
-def render_gt(model, cameras, views, width, height, bone_tf, backend):
+def render_gt(model, cameras, views, width, height, bone_tf, backend,
+              voxel_grid=None):
     """Render a real synthetic GT image set from the UNPERTURBED model so
     the bench loss landscape (and backward sparsity / early-exit
     behaviour) matches a converging scene instead of a constant field."""
@@ -78,18 +79,21 @@ def render_gt(model, cameras, views, width, height, bone_tf, backend):
     )
     from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
     from manus_tpu.ops.skinning import skin_gaussians
+    from manus_tpu.train.workloads import resolve_skin_weights
     from manus_tpu.utils.camera import index_camera
 
     cfg = RasterConfig(backend=backend, tg_max=64, max_pairs_per_tile=4096,
                        chunk=64, pallas_chunk=128, pair_budget_factor=4,
                        multi_frac=0.25)
 
+    # voxel grid as traced arg, not closure (compile payload size)
     @jax.jit
-    def one(cam):
+    def one(cam, vg):
         params = model.params
         cov = get_covariance(params)
         if bone_tf is not None:
-            sk = skin_gaussians(params.xyz, cov, model.skin_weights, bone_tf)
+            skin_w = resolve_skin_weights(model, vg)
+            sk = skin_gaussians(params.xyz, cov, skin_w, bone_tf)
             posed, cov, tf = sk.posed_xyz, sk.posed_cov, sk.tf
         else:
             posed, tf = params.xyz, None
@@ -100,7 +104,10 @@ def render_gt(model, cameras, views, width, height, bone_tf, backend):
         )
         return out.render
 
-    imgs = [np.asarray(one(index_camera(cameras, i))) for i in range(views)]
+    imgs = [
+        np.asarray(one(index_camera(cameras, i), voxel_grid))
+        for i in range(views)
+    ]
     return jnp.asarray(np.clip(np.stack(imgs), 0, 1), jnp.float32)
 
 
@@ -124,12 +131,25 @@ def perturb_model(model, seed=1, pos_sigma=0.004, col_sigma=0.1):
 
 
 def build_workload(backend: str, capacity: int, width: int, height: int,
-                   views: int, gt=None):
+                   views: int, gt=None, voxel_res: int = 0,
+                   lpips_params=None):
+    """Hand-module training workload.
+
+    voxel_res > 0 builds the FLAGSHIP configuration: a res^3 MANO voxel
+    skinning grid (brick table included) resampled every step — the
+    canonical train-CLI hand config at 131k/512^2/96^3. lpips_params
+    additionally turns the VGG LPIPS loss on from step 0 (the canonical
+    loss past start_lpips_iter), routed through the Pallas conv stack.
+    """
     import jax
     import jax.numpy as jnp
 
     from manus_tpu.config import hand_config
-    from manus_tpu.data.synthetic import procedural_skeleton, sample_gaussians_on_bones
+    from manus_tpu.data.synthetic import (
+        load_reference_skeleton,
+        procedural_skeleton,
+        sample_gaussians_on_bones,
+    )
     from manus_tpu.models.gaussians import init_gaussian_model
     from manus_tpu.train.workloads import init_train_state, make_train_step
     from manus_tpu.utils.camera import index_camera, stack_cameras
@@ -137,7 +157,13 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     from manus_tpu.ops.skinning import bone_deformation_transforms
     from manus_tpu.utils.structures import Bones
 
-    skel = procedural_skeleton(8)
+    skel = None
+    if voxel_res:
+        # flagship uses the reference's real 20-bone skeleton so the MANO
+        # voxel grid geometry matches the canonical hand config
+        skel = load_reference_skeleton()
+    if skel is None:
+        skel = procedural_skeleton(8)
     j = len(skel["bnames"])
     per_bone = capacity // (j + j // 2)  # bones + joints sampling ratio
     pts, cols = sample_gaussians_on_bones(
@@ -151,17 +177,31 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     cfg = hand_config()
     cfg.capacity = capacity
     cfg.dataset.width, cfg.dataset.height = width, height
+    losses = ("rgb_loss", "ssim_loss", "isotropic_reg")
+    weights = (0.8, 0.2, 0.1)
+    if lpips_params is not None:
+        losses += ("lpips_loss",)
+        weights += (0.1,)
     cfg.loss = dataclasses.replace(
-        cfg.loss,
-        losses=("rgb_loss", "ssim_loss", "isotropic_reg"),
-        loss_weight=(0.8, 0.2, 0.1),
+        cfg.loss, losses=losses, loss_weight=weights,
     )
-    cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
+    cfg.model = dataclasses.replace(
+        cfg.model, remove_seg_end=0, start_lpips_iter=0
+    )
     cfg.raster = dataclasses.replace(
         cfg.raster, backend=backend, tg_max=64, max_pairs_per_tile=4096,
         chunk=64, pallas_chunk=128, pair_budget_factor=4, multi_frac=0.25,
     )
 
+    voxel_grid = None
+    if voxel_res:
+        from manus_tpu.data.voxel import build_voxel_grid
+
+        kp_rest = np.concatenate([skel["rest_heads"][:1], skel["rest_tails"]])
+        voxel_grid = build_voxel_grid(
+            kp_rest, res=voxel_res, num_bones=j
+        )
+        skin = None  # voxel mode resamples weights from the grid per step
     model = init_gaussian_model(pts, cols, capacity, skin_weights=skin)
 
     center = skel["rest_heads"].mean(axis=0)
@@ -171,11 +211,15 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
         center=center,
     )
     cameras = stack_cameras(cams)
+    frame = 3 % skel["pose_transforms"].shape[0]
     bone_tf = bone_deformation_transforms(
-        jnp.asarray(skel["pose_transforms"][3]),
+        jnp.asarray(skel["pose_transforms"][frame]),
         jnp.asarray(skel["rest_transforms"]),
+        append_identity=voxel_grid is not None,
     )
-    kp = np.concatenate([skel["pose_heads"][3][:1], skel["pose_tails"][3]])
+    kp = np.concatenate(
+        [skel["pose_heads"][frame][:1], skel["pose_tails"][frame]]
+    )
 
     # GT rendered from the clean model; the benched model is perturbed so
     # the loss landscape matches a real training scene (VERDICT r1).
@@ -184,9 +228,13 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     # and each skipped GT render saves a full jit compile (~30-200s on
     # the tunneled platform, where compile latency varies wildly).
     if gt is None:
-        gt = render_gt(model, cameras, views, width, height, bone_tf, backend)
+        gt = render_gt(model, cameras, views, width, height, bone_tf,
+                       backend, voxel_grid=voxel_grid)
     state = init_train_state(perturb_model(model))
-    train_step = make_train_step(cfg, extent=1.0, articulated=True)
+    train_step = make_train_step(
+        cfg, extent=1.0, articulated=True, voxel_grid=voxel_grid,
+        lpips_params=lpips_params,
+    )
     batch = {
         "rgb": gt,
         "mask": jnp.ones((views, height, width, 1), jnp.float32),
@@ -245,11 +293,92 @@ def main():
         capacity, width, height, views = 2048, 128, 128, 1
         warmup, iters = 1, 3
 
+    backend = "pallas" if on_tpu else "xla"
     step_p, state_p, batch_p = build_workload(
-        "pallas" if on_tpu else "xla", capacity, width, height, views
+        backend, capacity, width, height, views
     )
     pallas_ips = time_iters(step_p, state_p, batch_p, warmup, iters)
     note(f"hand pallas: {pallas_ips:.1f} it/s")
+
+    def peak_hbm_mb():
+        """Peak device memory (train step donates the state, so this is
+        the working-set headroom number); None where the tunneled
+        platform doesn't expose stats."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            return round(stats["peak_bytes_in_use"] / (1 << 20))
+        except Exception:
+            return None
+
+    hbm_primary = peak_hbm_mb()
+    if hbm_primary:
+        note(f"peak HBM after primary: {hbm_primary} MB")
+
+    # Section order is PRIORITY order (VERDICT r2 item 2): the driver-
+    # tracked configurations — 720p/131k frame scale and the FLAGSHIP
+    # voxel-grid config — run before the optional object/xla sections so
+    # a slow-compile session drops the optional numbers, not the headline.
+    hd_ips = float("nan")
+    if on_tpu and remaining() > 150:
+        try:
+            step_h, state_h, batch_h = build_workload(
+                "pallas", 1 << 17, 1280, 720, views
+            )
+            hd_ips = time_iters(step_h, state_h, batch_h, warmup,
+                                max(iters // 2, 4))
+            note(f"hand 720p: {hd_ips:.1f} it/s")
+        except Exception as e:
+            note(f"720p failed: {type(e).__name__}")
+    else:
+        note("skipping 720p (budget)" if on_tpu else "skipping 720p (cpu)")
+
+    # FLAGSHIP: canonical train-CLI hand config — 131k gaussians, 512^2,
+    # 96^3 MANO voxel skinning grid resampled per step (PARITY.md "Perf
+    # state"); plus the same config with the canonical VGG LPIPS loss on
+    # (post-step-1000 behaviour) through the Pallas conv stack.
+    flag_ips = flag_lpips_ips = float("nan")
+    if on_tpu and remaining() > 150:
+        try:
+            step_f, state_f, batch_f = build_workload(
+                "pallas", 1 << 17, 512, 512, views, voxel_res=96
+            )
+            flag_ips = time_iters(step_f, state_f, batch_f, warmup,
+                                  max(iters // 2, 4))
+            note(f"flagship voxel: {flag_ips:.1f} it/s "
+                 f"({1e3 / flag_ips:.1f} ms/step)")
+            if remaining() > 120:
+                from manus_tpu.train.lpips import random_lpips_params
+
+                step_l, state_l, batch_l = build_workload(
+                    "pallas", 1 << 17, 512, 512, views, voxel_res=96,
+                    gt=batch_f["rgb"],
+                    lpips_params=random_lpips_params(0, arch="vgg"),
+                )
+                flag_lpips_ips = time_iters(
+                    step_l, state_l, batch_l, warmup, max(iters // 2, 4)
+                )
+                note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
+                     f"({1e3 / flag_lpips_ips:.1f} ms/step)")
+            else:
+                note("skipping flagship lpips (budget)")
+        except Exception as e:
+            note(f"flagship failed: {type(e).__name__}")
+    else:
+        note("skipping flagship (budget)" if on_tpu
+             else "skipping flagship (cpu)")
+
+    obj_ips = float("nan")
+    if remaining() > 120:
+        try:
+            step_o, state_o, batch_o = build_object_workload(
+                backend, capacity, width, height, views
+            )
+            obj_ips = time_iters(step_o, state_o, batch_o, warmup, iters)
+            note(f"object: {obj_ips:.1f} it/s")
+        except Exception:
+            pass
+    else:
+        note("skipping object (budget)")
 
     xla_ips = float("nan")
     if remaining() > 120:
@@ -266,35 +395,6 @@ def main():
             pass
     else:
         note("skipping xla fallback (budget)")
-
-    obj_ips = float("nan")
-    if remaining() > 120:
-        try:
-            step_o, state_o, batch_o = build_object_workload(
-                "pallas" if on_tpu else "xla", capacity, width, height, views
-            )
-            obj_ips = time_iters(step_o, state_o, batch_o, warmup, iters)
-            note(f"object: {obj_ips:.1f} it/s")
-        except Exception:
-            pass
-    else:
-        note("skipping object (budget)")
-
-    # full MANUS frame scale: 1280x720 at 131k gaussians (VERDICT r1
-    # item 10) as a second tracked configuration
-    hd_ips = float("nan")
-    if on_tpu and remaining() > 150:
-        try:
-            step_h, state_h, batch_h = build_workload(
-                "pallas", 1 << 17, 1280, 720, views
-            )
-            hd_ips = time_iters(step_h, state_h, batch_h, warmup,
-                                max(iters // 2, 4))
-            note(f"hand 720p: {hd_ips:.1f} it/s")
-        except Exception:
-            pass
-    else:
-        note("skipping 720p (budget)" if on_tpu else "skipping 720p (cpu)")
 
     # vs_baseline = speedup over the in-repo XLA fallback renderer. When
     # the budget forced the fallback measurement to be skipped, reuse the
@@ -322,8 +422,20 @@ def main():
                     "hand_720p_131k_iters_per_s": round(hd_ips, 3)
                     if np.isfinite(hd_ips)
                     else None,
+                    # FLAGSHIP canonical config (131k/512^2/96^3 voxel)
+                    "flagship_voxel_ms": round(1e3 / flag_ips, 2)
+                    if np.isfinite(flag_ips)
+                    else None,
+                    "flagship_voxel_iters_per_s": round(flag_ips, 3)
+                    if np.isfinite(flag_ips)
+                    else None,
+                    "flagship_voxel_lpips_ms": round(1e3 / flag_lpips_ips, 2)
+                    if np.isfinite(flag_lpips_ips)
+                    else None,
                     "gaussians": capacity,
                     "resolution": [height, width],
+                    "peak_hbm_mb_primary": hbm_primary,
+                    "peak_hbm_mb_final": peak_hbm_mb(),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -37,6 +37,10 @@ class TrainerConfig:
     process_id: int = -1  # -1 = auto
     log_losses: bool = True
     debug_nans: bool = False  # jax_debug_nans (reference anomaly detection)
+    # Full validation epoch: sweep ALL held-out views x frames per val
+    # (reference base.py:112-154 runs the whole val dataloader). Default
+    # keeps the capped sample (2 views x <=4 frames) for cheap cadences.
+    val_full_sweep: bool = False
     # Device-resident dataset cache cap (MiB; 0 = off). When the full
     # [F, V, H, W, rgb+mask] tensor fits, it is staged into HBM once and
     # per-step batches become on-device gathers — no per-step host->device
@@ -92,6 +96,10 @@ class LossConfig:
     # OPT-IN perf knob (k>1 average-pools pred/gt kxk before the VGG;
     # reference runs LPIPS at full res — see losses.compute_losses)
     lpips_downsample: int = 1
+    # conv backend for the VGG loss sweep: auto | pallas | xla. auto =
+    # the implicit-GEMM bf16 Pallas stack (ops/conv_pallas.py) on TPU,
+    # fp32 XLA convs elsewhere.
+    lpips_conv: str = "auto"
 
 
 @dataclasses.dataclass

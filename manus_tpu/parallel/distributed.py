@@ -91,11 +91,21 @@ def make_multihost_mesh(
             f"mesh {n_data}x{n_gauss} != {total} global devices"
         )
         # DCN granule: processes along data; ICI granule: the per-host
-        # remainder of data times gauss
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_data // n_proc, n_gauss),
-            dcn_mesh_shape=(n_proc, 1),
-        )
+        # remainder of data times gauss. Multi-slice TPU topologies group
+        # by slice_index; single-slice pods and multi-process CPU (the
+        # test harness) have one slice for all processes, so fall back to
+        # the per-process granule there.
+        try:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_data // n_proc, n_gauss),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+        except ValueError:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_data // n_proc, n_gauss),
+                dcn_mesh_shape=(n_proc, 1),
+                process_is_granule=True,
+            )
         return Mesh(dev, (DATA_AXIS, GAUSS_AXIS))
 
     from manus_tpu.parallel.mesh import make_mesh

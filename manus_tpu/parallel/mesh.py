@@ -48,6 +48,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes.
+
+    Single-process meshes go through jax.device_put. On a mesh spanning
+    processes (jax.distributed multi-host), the caller holds the FULL
+    global value (tests / replicated state; production hosts can restrict
+    batch loading with distributed.process_local_batch_indices and pass
+    the same globally-consistent array) and the global jax.Array is
+    assembled from this process's addressable shards only.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    shards = [
+        jax.device_put(x[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            x.shape
+        ).items()
+    ]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a view-batched dict: [V, ...] leaves sharded over data axis,
     everything else replicated. Works on Camera pytrees too (their static
@@ -58,18 +80,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     def place(x):
         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == v:
-            return jax.device_put(x, vs)
-        return jax.device_put(x, rep)
+            return global_put(x, vs)
+        return global_put(x, rep)
 
     out = {}
     for key, val in batch.items():
         if key in ("rgb", "mask", "cameras"):
             out[key] = jax.tree.map(place, val)
         else:
-            out[key] = jax.tree.map(lambda x: jax.device_put(x, rep), val)
+            out[key] = jax.tree.map(lambda x: global_put(x, rep), val)
     return out
 
 
 def replicate_state(state, mesh: Mesh):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    return jax.tree.map(lambda x: global_put(x, rep), state)

@@ -18,7 +18,67 @@ import jax.numpy as jnp
 import numpy as np
 
 from manus_tpu.ops.contacts import contact_map
-from manus_tpu.utils.io import dump_mesh
+from manus_tpu.utils.io import dump_image, dump_mesh
+
+
+def render_contact_images(
+    points: np.ndarray,  # [N, 3] subdivided-mesh vertices
+    colors: np.ndarray,  # [N, 3] contact colormap in [0, 1]
+    cameras,  # list of utils.camera.Camera pytrees
+    out_dir: str,
+    names: Optional[Sequence[str]] = None,
+    point_scale: Optional[float] = None,
+    raster_config=None,
+) -> list:
+    """Flat-shaded renders of a contact-colored point cloud, one PNG per
+    camera — the in-repo replacement for the reference's Blender contact
+    mesh renders (/root/reference/scripts/process/bl_render_mano.py:1-297,
+    invoked by mano_contacts.py:122-123). Each vertex becomes a small
+    isotropic gaussian with its color precomputed (a subdivided mesh is
+    dense enough that the splat footprints tile the surface, which is all
+    the downstream IoU thresholding needs from Blender's flat shading).
+
+    Returns the list of written paths ({out_dir}/{name}.png).
+    """
+    import jax
+
+    from manus_tpu.ops.rasterizer.api import RasterConfig, render_gaussians
+
+    pts = jnp.asarray(points, jnp.float32)
+    cols = jnp.asarray(colors, jnp.float32)
+    if point_scale is None:
+        from manus_tpu.ops.knn import knn_self_distances
+
+        # same footprint rule as gaussian init: sqrt(mean sq dist to the
+        # 3 nearest neighbours) — splats just touch their neighbours
+        d2 = knn_self_distances(pts)
+        s = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    else:
+        s = jnp.full((pts.shape[0],), point_scale, jnp.float32)
+    z = jnp.zeros_like(s)
+    s2 = s * s
+    cov = jnp.stack([s2, z, z, s2, z, s2], axis=-1)  # isotropic upper-tri
+    opac = jnp.full((pts.shape[0], 1), 0.99, jnp.float32)
+    feats = jnp.zeros((pts.shape[0], 1, 3), jnp.float32)  # unused (precomp)
+    active = jnp.ones((pts.shape[0],), bool)
+    cfg = raster_config or RasterConfig(backend="auto")
+
+    @jax.jit
+    def one(cam):
+        out = render_gaussians(
+            pts, cov, pts, feats, opac, cam, jnp.zeros(3), sh_degree=0,
+            active=active, colors_precomp=cols, config=cfg,
+        )
+        return out.render
+
+    paths = []
+    for i, cam in enumerate(cameras):
+        name = names[i] if names is not None else f"{i:04d}"
+        img = np.clip(np.asarray(one(cam)), 0.0, 1.0)
+        path = os.path.join(out_dir, f"{name}.png")
+        dump_image(img, path)
+        paths.append(path)
+    return paths
 
 
 def subdivide_mesh(verts: np.ndarray, faces: np.ndarray):
@@ -66,12 +126,20 @@ def mano_baseline_contacts(
     cmap_type: str = "gray",
     subdiv_iters: int = 3,  # reference: 3 for MANO, 2 for HARP
     frame_ids: Optional[Sequence[int]] = None,
+    cameras=None,  # eval cameras: render acc contacts to PNGs when given
+    camera_names: Optional[Sequence[str]] = None,
+    raster_config=None,
 ) -> np.ndarray:
     """Per-frame + accumulated baseline contacts (mano_contacts.py:92-116).
 
     Writes `{out_dir}/gt_eval/{frame}.ply` (per-frame contact colors on the
     rest mesh) and `{out_dir}/acc_eval/{frame}.ply` (running accumulated
-    contacts). Returns the final accumulated distance map [V_subdiv].
+    contacts). With `cameras`, additionally renders the final accumulated
+    contact map on the REST mesh to `{out_dir}/acc_eval_rendered/*.png` —
+    the images evaluate_composite's three-way IoU table consumes (the
+    reference produces them with Blender, bl_render_mano.py; here the own
+    rasterizer renders the subdivided vertices as small gaussians).
+    Returns the final accumulated distance map [V_subdiv].
     """
     rest_v, f = np.asarray(rest_verts, np.float32), np.asarray(faces)
     for _ in range(subdiv_iters):
@@ -100,4 +168,17 @@ def mano_baseline_contacts(
         )
         dump_mesh(os.path.join(acc_dir, f"{fid}.ply"), rest_v, f,
                   colors=acc_cmap)
-    return acc if acc is not None else np.zeros(rest_v.shape[0], np.float32)
+    if acc is None:
+        acc = np.zeros(rest_v.shape[0], np.float32)
+    if cameras is not None:
+        from manus_tpu.utils.colormap import apply_colormap
+
+        acc_cmap = np.asarray(
+            apply_colormap(jnp.clip(jnp.asarray(acc), 0, 1), cmap_type)
+        )
+        render_contact_images(
+            rest_v, acc_cmap, cameras,
+            os.path.join(out_dir, "acc_eval_rendered"),
+            names=camera_names, raster_config=raster_config,
+        )
+    return acc

@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CKPT_RE = re.compile(r"step(\d+)-loss([-\d.einf]+)\.npz$")
+_CKPT_RE = re.compile(
+    r"step(\d+)-loss([-\d.einf]+?)(?:-vpsnr([-\d.einf]+))?\.npz$"
+)
 
 
 def _flatten_with_paths(tree):
@@ -30,13 +32,19 @@ def _flatten_with_paths(tree):
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, loss: float,
-                    extra: Optional[dict] = None):
+                    extra: Optional[dict] = None,
+                    val_psnr: Optional[float] = None):
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = _flatten_with_paths(state)
     if extra:
         for k, v in extra.items():
             payload[f"__extra__/{k}"] = np.asarray(v)
-    path = os.path.join(ckpt_dir, f"step{step:06d}-loss{loss:.6f}.npz")
+    name = f"step{step:06d}-loss{loss:.6f}"
+    if val_psnr is not None and np.isfinite(val_psnr):
+        # held-out metric in the name: "best" then resolves on val PSNR
+        # instead of train loss (VERDICT r2 weak item 3)
+        name += f"-vpsnr{val_psnr:.4f}"
+    path = os.path.join(ckpt_dir, name + ".npz")
     # atomic write: a kill mid-save must not leave a corrupt "best" file.
     # Uncompressed: zlib on ~100MB of fp32 noise costs 10-30s per save at
     # production capacity (vs ~1s raw) for <2x size; np.load reads both.
@@ -48,18 +56,26 @@ def save_checkpoint(ckpt_dir: str, state, step: int, loss: float,
 
 
 def find_best_checkpoint(ckpt_dir: str) -> Optional[str]:
-    """Lowest loss, ties broken by latest step (reference extra.py:203-242)."""
+    """Best = highest held-out val PSNR when any checkpoint carries one
+    (the -vpsnr suffix), else lowest train loss (reference
+    extra.py:203-242 semantics); ties broken by latest step."""
     if not os.path.isdir(ckpt_dir):
         return None
-    best = None
+    best_val = None
+    best_loss = None
     for name in os.listdir(ckpt_dir):
         m = _CKPT_RE.search(name)
         if not m:
             continue
         step, loss = int(m.group(1)), float(m.group(2))
+        if m.group(3) is not None:
+            key = (-float(m.group(3)), -step)
+            if best_val is None or key < best_val[0]:
+                best_val = (key, name)
         key = (loss, -step)
-        if best is None or key < best[0]:
-            best = (key, name)
+        if best_loss is None or key < best_loss[0]:
+            best_loss = (key, name)
+    best = best_val or best_loss
     return os.path.join(ckpt_dir, best[1]) if best else None
 
 

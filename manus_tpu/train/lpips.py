@@ -106,6 +106,21 @@ def vgg16_features(params: dict, x: jax.Array) -> list:
     return backbone_features(params, x, "vgg")
 
 
+def _lpips_head(params: dict, f1: list, f2: list) -> jax.Array:
+    """Unit-normalise stage features, squared diff, learned 1x1 heads,
+    spatial mean, sum over stages (fp32 regardless of feature dtype)."""
+    total = jnp.asarray(0.0)
+    for k, (a, b) in enumerate(zip(f1, f2)):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+        diff = (a - b) ** 2
+        lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
+        total = total + jnp.mean(jnp.sum(diff * lin, -1))
+    return total
+
+
 def lpips_distance(params: dict, img1: jax.Array, img2: jax.Array) -> jax.Array:
     """img1/img2: [H, W, 3] in [0, 1]. Returns scalar LPIPS distance using
     whichever backbone the params encode (VGG16 loss net or AlexNet eval
@@ -115,14 +130,44 @@ def lpips_distance(params: dict, img1: jax.Array, img2: jax.Array) -> jax.Array:
     x2 = (img2[None] * 2.0 - 1.0).astype(jnp.float32)
     f1 = backbone_features(params, x1, arch)
     f2 = backbone_features(params, x2, arch)
-    total = jnp.asarray(0.0)
-    for k, (a, b) in enumerate(zip(f1, f2)):
-        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
-        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
-        diff = (a - b) ** 2
-        lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
-        total = total + jnp.mean(jnp.sum(diff * lin[None, None, None, :], -1))
-    return total
+    return _lpips_head(params, f1, f2)
+
+
+def vgg16_features_pallas(params: dict, x: jax.Array,
+                          interpret=None) -> list:
+    """VGG16 stage features via the implicit-GEMM Pallas conv stack
+    (ops/conv_pallas.py): bf16 MXU matmuls with fp32 accumulation, fused
+    bias+ReLU, reshape-max pools. x: [H, W, 3] in [-1, 1] (no batch dim)."""
+    from manus_tpu.ops.conv_pallas import make_lpips_conv, maxpool2x2
+
+    x = (x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE)
+    feats = []
+    for si, stage in enumerate(VGG_PLAN["stages"]):
+        if si in VGG_PLAN["pool_before"]:
+            x = maxpool2x2(x)
+        for li in range(len(stage)):
+            conv = make_lpips_conv(
+                params[f"conv{si}_{li}_w"], params[f"conv{si}_{li}_b"],
+                relu=True, interpret=interpret,
+            )
+            x = conv(x)
+        feats.append(x)
+    return feats
+
+
+def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
+                          interpret=None) -> jax.Array:
+    """lpips_distance with the VGG16 backbone on the Pallas conv stack —
+    the training-loss hot path (the reference pays the same sweeps through
+    cuDNN, loss_utils.py:111-117). bf16 features, fp32 head; values agree
+    with the XLA path to bf16 tolerance (tests/test_conv_pallas.py).
+    VGG-keyed params only."""
+    assert infer_arch(params) == "vgg", "pallas LPIPS path is VGG-only"
+    x1 = img1 * 2.0 - 1.0
+    x2 = img2 * 2.0 - 1.0
+    f1 = vgg16_features_pallas(params, x1, interpret)
+    f2 = vgg16_features_pallas(params, x2, interpret)
+    return _lpips_head(params, f1, f2)
 
 
 def load_lpips_params(path: str) -> Optional[dict]:

@@ -27,8 +27,14 @@ class AdamState(NamedTuple):
 
 
 def init_adam(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(m=zeros, v=zeros, step=jnp.zeros((), jnp.int32))
+    # m and v must be INDEPENDENT buffers: sharing one zeros pytree makes
+    # the train step's donated input alias itself and XLA rejects the
+    # double donation (the round-2 blocker for donate_argnums).
+    return AdamState(
+        m=jax.tree.map(jnp.zeros_like, params),
+        v=jax.tree.map(jnp.zeros_like, params),
+        step=jnp.zeros((), jnp.int32),
+    )
 
 
 def expon_lr(

@@ -386,9 +386,18 @@ class Trainer:
 
     # ---- validation -----------------------------------------------------
     def _val_items(self, ds, num_views: int):
-        """(frame, view) pairs for one validation epoch: all (capped) val
-        views; dynamic scenes additionally sweep evenly-spaced held-out
-        frames so motion is validated, not just frame 0."""
+        """(frame, view) pairs for one validation epoch.
+
+        trainer.val_full_sweep sweeps ALL held-out views x frames (the
+        reference's full val-dataloader epoch, base.py:112-154); otherwise
+        a capped sample: `num_views` views, dynamic scenes additionally at
+        <=4 evenly-spaced held-out frames so motion is validated."""
+        if self.cfg.trainer.val_full_sweep:
+            views = range(ds.num_views)
+            frames = range(getattr(ds, "num_frames", 1)) if (
+                self.articulated
+            ) else [0]
+            return [(int(f), v) for f in frames for v in views]
         views = range(min(num_views, ds.num_views)) if num_views else range(
             ds.num_views
         )
@@ -414,6 +423,7 @@ class Trainer:
         from manus_tpu.utils.io import concat_images, dump_image
 
         val_dir = os.path.join(self.out_dir, "results", "val_results")
+        per_item_rows = self.cfg.trainer.val_full_sweep
         psnrs, ssims, lpipss, times, ovfs = [], [], [], [], []
         for idx, (f, vi) in enumerate(self._val_items(ds, num_views)):
             raw = ds.get_batch(f, np.asarray([vi]))
@@ -435,6 +445,14 @@ class Trainer:
             ssims.append(float(out["ssim"]))
             lpipss.append(float(out["lpips"]))
             ovfs.append(int(out["pair_overflow"]))
+            if per_item_rows:
+                # full-sweep epochs record every held-out sample, like the
+                # reference's per-batch val_results.csv rows
+                self.val_csv.write(
+                    [f"{self.cfg.trainer.exp_name}/f{f}_v{vi}", step,
+                     psnrs[-1], ssims[-1], lpipss[-1], times[-1], ovfs[-1],
+                     self.lpips_eval_mode]
+                )
             if dump_artifacts:
                 # pred | gt | diff strip (reference base.py:112-131)
                 gt = np.asarray(raw["rgb"][0], np.float32)
@@ -450,6 +468,10 @@ class Trainer:
              np.mean(lpipss), np.mean(times), int(np.max(ovfs)),
              self.lpips_eval_mode]
         )
+        # held-out metric for val-keyed "best" checkpoints (only when this
+        # was real held-out data, not the train-view fallback)
+        if self.val_dataset is not None:
+            self._val_psnr, self._val_step = float(np.mean(psnrs)), step
         log(
             f"[val] step {step}: psnr={np.mean(psnrs):.2f} "
             f"ssim={np.mean(ssims):.4f} lpips={np.mean(lpipss):.4f} "
@@ -493,8 +515,16 @@ class Trainer:
                 vg_scale=np.asarray(self.voxel_grid.scale),
                 vg_weights=np.asarray(self.voxel_grid.weights),
             )
+        # key the snapshot on held-out val PSNR when a validation ran AT
+        # this step (aligned val/ckpt cadences) — "best" then resolves on
+        # the val metric instead of train loss at save time
+        val_psnr = (
+            self._val_psnr if getattr(self, "_val_step", None) == step
+            else None
+        )
         return ckpt_mod.save_checkpoint(
-            self.ckpt_dir, self.state, step, loss, extra=extra
+            self.ckpt_dir, self.state, step, loss, extra=extra,
+            val_psnr=val_psnr,
         )
 
     def load(self, path: Optional[str] = None):

@@ -123,6 +123,7 @@ def compute_losses(
     lpips_params: dict | None = None,
     lpips_enabled: jax.Array | None = None,
     lpips_downsample: int = 1,
+    lpips_conv: str = "auto",
 ) -> tuple[jax.Array, dict]:
     """Weighted multi-loss as in reference base.py:323-365.
 
@@ -150,7 +151,22 @@ def compute_losses(
                 # No weights resolved (trainer warned): zero contribution.
                 losses[name] = jnp.asarray(0.0, pred_image.dtype)
             else:
-                from manus_tpu.train.lpips import lpips_distance
+                from manus_tpu.train.lpips import (
+                    infer_arch, lpips_distance, lpips_distance_pallas,
+                )
+
+                # conv backend for the VGG sweep: "pallas" = implicit-GEMM
+                # bf16 MXU kernels (ops/conv_pallas.py, ~4x the fp32 XLA
+                # roof on TPU); "xla" = fp32 conv_general_dilated. "auto"
+                # picks pallas on TPU for VGG params.
+                use_pallas = lpips_conv == "pallas" or (
+                    lpips_conv == "auto"
+                    and jax.default_backend() == "tpu"
+                    and infer_arch(lpips_params) == "vgg"
+                )
+                dist = (
+                    lpips_distance_pallas if use_pallas else lpips_distance
+                )
 
                 def _pool(img, k):
                     h, w = img.shape[0] // k * k, img.shape[1] // k * k
@@ -160,12 +176,12 @@ def compute_losses(
 
                 def _lpips(_):
                     if lpips_downsample > 1:
-                        return lpips_distance(
+                        return dist(
                             lpips_params,
                             _pool(pred_image, lpips_downsample),
                             _pool(gt_image, lpips_downsample),
                         )
-                    return lpips_distance(lpips_params, pred_image, gt_image)
+                    return dist(lpips_params, pred_image, gt_image)
 
                 if lpips_enabled is None:
                     losses[name] = _lpips(None)

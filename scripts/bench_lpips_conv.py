@@ -1,16 +1,22 @@
 """Microbenchmark: VGG-LPIPS conv lowering strategies on the real TPU.
 
-The flagship hand step pays ~14.5 ms for the LPIPS VGG16 fwd+bwd at 512^2
-(reference trains with VGG LPIPS after step 1000, base.py:333-341). XLA's
-batch-1 conv lowering measured ~20 TFLOP/s regardless of fp32/bf16 — far
-off the MXU roof. Candidate fix: express each 3x3 SAME conv as 9 shifted
-[H*W, Ci] x [Ci, Co] matmuls (pure dot_generals the MXU tiles well).
+The flagship hand step pays for the LPIPS VGG16 fwd+bwd at 512^2 once the
+canonical loss turns it on (reference base.py:333-341). Measured history
+(PARITY.md "Perf state"): fp32 XLA conv ~13.4 ms f+b = the fp32 MXU roof;
+bf16 XLA conv WORSE (lowering-bound); 9-shifted-matmul im2col loses to
+HBM accumulate traffic. The implicit-GEMM Pallas stack
+(manus_tpu/ops/conv_pallas.py) keeps the 9-tap accumulation in VMEM at
+bf16 MXU rate — this script measures all of them like-for-like.
 
 Timing follows CLAUDE.md: traced-bound fori_loop chains, per-iter =
 (t(n=22) - t(n=2)) / 20 with a host readback inside the timed region
-(block_until_ready is unreliable through the tunnel).
+(block_until_ready is unreliable through the tunnel). Params travel as
+traced arguments (closure arrays are serialized into tunnel compile
+requests). A one-shot allclose gate checks every variant against the fp32
+XLA forward before its timing runs.
 
-Run: python scripts/bench_lpips_conv.py
+Run: python scripts/bench_lpips_conv.py [--all]
+  default: fp32 XLA (baseline) + pallas; --all adds bf16 XLA + im2col.
 """
 from __future__ import annotations
 
@@ -27,6 +33,7 @@ from manus_tpu.train.lpips import (  # noqa: E402
     VGG_STAGES,
     SHIFT,
     SCALE,
+    lpips_distance_pallas,
     random_lpips_params,
 )
 
@@ -36,6 +43,20 @@ H = W = 512
 def conv_xla(x, w, b):
     out = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out + b
+
+
+def conv_xla_bf16(x, w, b):
+    """bf16 inputs, fp32 accumulation via preferred_element_type
+    (ADVICE r2: the variant PARITY.md cited but the script lacked)."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
     return out + b
 
@@ -90,24 +111,41 @@ def make_lpips(conv):
     return dist
 
 
+def check_agreement(name, dist_fn, ref_fn, params, rtol=0.03):
+    """One-shot value gate on a small input so a mis-indexed variant can
+    never be silently benchmarked (ADVICE r2)."""
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+    got = float(jax.jit(dist_fn)(params, a, b))
+    ref = float(jax.jit(ref_fn)(params, a, b))
+    ok = abs(got - ref) <= rtol * max(abs(ref), 1e-6)
+    print(f"  agreement[{name}]: {got:.6f} vs ref {ref:.6f} "
+          f"({'ok' if ok else 'FAIL'})", flush=True)
+    if not ok:
+        raise AssertionError(f"{name} disagrees with fp32 XLA forward")
+
+
 def bench(name, dist_fn, params, img1, img2):
     grad_fn = jax.value_and_grad(dist_fn, argnums=1)
 
+    # params as a traced argument — closure arrays land in the tunnel
+    # compile request (ADVICE r2)
     @jax.jit
-    def chain(n, x1, x2):
+    def chain(n, p, x1, x2):
         def body(_, carry):
-            v, g = grad_fn(params, carry, x2)
+            v, g = grad_fn(p, carry, x2)
             return carry + 1e-6 * g + 1e-9 * v
 
         return jax.lax.fori_loop(0, n, body, x1)
 
     t0 = time.time()
-    np.asarray(chain(jnp.asarray(2), img1, img2)[0, 0])  # compile + n=2
+    np.asarray(chain(jnp.asarray(2), params, img1, img2)[0, 0])  # compile
     t_compile = time.time() - t0
 
     def timed(n):
         t = time.time()
-        np.asarray(chain(jnp.asarray(n), img1, img2)[0, 0])
+        np.asarray(chain(jnp.asarray(n), params, img1, img2)[0, 0])
         return time.time() - t
 
     t2 = min(timed(2) for _ in range(2))
@@ -118,18 +156,32 @@ def bench(name, dist_fn, params, img1, img2):
 
 
 def main():
+    run_all = "--all" in sys.argv
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     params = random_lpips_params(0)
     rng = np.random.RandomState(3)
     img1 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     img2 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
 
+    ref = make_lpips(conv_xla)
+    variants = [("xla_conv_fp32", ref)]
+    variants.append(("pallas_igemm_bf16",
+                     lambda p, a, b: lpips_distance_pallas(p, a, b)))
+    if run_all:
+        variants += [
+            ("xla_conv_bf16", make_lpips(conv_xla_bf16)),
+            ("mm_fp32", make_lpips(make_conv_mm(jnp.float32))),
+            ("mm_bf16", make_lpips(make_conv_mm(jnp.bfloat16))),
+        ]
+
     r = {}
-    r["xla_conv_fp32"] = bench("xla conv fp32 (current)", make_lpips(conv_xla), params, img1, img2)
-    r["mm_fp32"] = bench("shifted-matmul fp32", make_lpips(make_conv_mm(jnp.float32)), params, img1, img2)
-    r["mm_bf16"] = bench("shifted-matmul bf16", make_lpips(make_conv_mm(jnp.bfloat16)), params, img1, img2)
+    for name, fn in variants:
+        if name != "xla_conv_fp32":
+            check_agreement(name, fn, ref, params)
+        r[name] = bench(name, fn, params, img1, img2)
     best = min(r, key=r.get)
-    print(f"best: {best}  ({r[best]:.2f} ms vs current {r['xla_conv_fp32']:.2f} ms)")
+    print(f"best: {best}  ({r[best]:.2f} ms vs fp32 xla "
+          f"{r['xla_conv_fp32']:.2f} ms)")
 
 
 if __name__ == "__main__":

@@ -136,6 +136,77 @@ def test_mano_baseline_contacts(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "acc_eval", "1.ply"))
 
 
+def test_baseline_contact_render_chain(tmp_path):
+    """VERDICT r2 item 3 — the full in-repo baseline eval chain: posed
+    baseline mesh -> accumulated contacts -> acc_eval_rendered PNGs via
+    the OWN rasterizer (the reference's Blender stage, bl_render_mano.py)
+    -> evaluate_composite emits ours AND mano rows in eval_metric.csv."""
+    from manus_tpu.ops.rasterizer.api import RasterConfig
+    from manus_tpu.train.baselines import mano_baseline_contacts
+    from manus_tpu.train.evaluate import BONE_COLORS, evaluate_composite
+    from utils import make_test_camera
+
+    H = W = 64
+    # baseline "hand": a square plate facing the camera; the object
+    # touches its left half only
+    n = 9
+    gx, gy = np.meshgrid(np.linspace(-0.5, 0.5, n), np.linspace(-0.5, 0.5, n))
+    verts = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+    verts = verts.astype(np.float32)
+    faces = []
+    for r in range(n - 1):
+        for c in range(n - 1):
+            a = r * n + c
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    faces = np.asarray(faces, np.int32)
+    obj = verts[verts[:, 0] < 0.0] + np.asarray([0, 0, 0.001], np.float32)
+
+    cam = make_test_camera(W, H, dist=2.0)
+    raster = RasterConfig(backend="xla", max_pairs_per_tile=512, chunk=32)
+    exp = tmp_path / "exp"
+    mano_dir = exp / "results" / "eval_results" / "mano"
+    acc = mano_baseline_contacts(
+        verts, faces, [verts, verts], obj, str(mano_dir), subdiv_iters=2,
+        cameras=[cam], camera_names=["0000"], raster_config=raster,
+    )
+    assert acc.max() > 0
+    png = mano_dir / "acc_eval_rendered" / "0000.png"
+    assert png.exists()
+    rendered = cv2.imread(str(png), cv2.IMREAD_GRAYSCALE)
+    # contact half renders bright, non-contact half dark (orientation-
+    # agnostic: the test camera may mirror world x in image space)
+    halves = rendered[:, : W // 2], rendered[:, W // 2:]
+    bright = sorted((h > 127).sum() for h in halves)
+    assert bright[1] > 50
+    assert bright[1] > 5 * max(bright[0], 1)
+
+    # ours + GT fixtures in the plate's screen footprint, then the table
+    ours_dir = exp / "results" / "eval_results" / "ours"
+    seg_dir = tmp_path / "gt" / "gt_contacts_seg"
+    img_dir = tmp_path / "gt" / "gt_contacts"
+    for d in (ours_dir, seg_dir, img_dir):
+        os.makedirs(d)
+    gt_contact = ((rendered > 127) * 255).astype(np.uint8)  # = mano render
+    skin = np.zeros((H, W, 3), np.uint8)
+    skin[gt_contact > 0] = BONE_COLORS[0].astype(np.uint8)
+    alpha = np.full((H, W), 255, np.uint8)
+    ours_img = np.concatenate(
+        [skin, np.repeat(gt_contact[:, :, None], 3, -1)], axis=1
+    )
+    cv2.imwrite(str(ours_dir / "0000.png"),
+                cv2.cvtColor(ours_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(seg_dir / "0000.png"), gt_contact)
+    cv2.imwrite(str(img_dir / "0000.png"),
+                np.dstack([skin[..., 2], skin[..., 1], skin[..., 0], alpha]))
+
+    scores = evaluate_composite(str(exp), str(seg_dir), str(img_dir))
+    assert set(scores) == {"ours", "mano"}
+    assert scores["ours"]["iou"] > 0.99
+    # the mano mask IS the gt here, so the rendered-baseline row must be
+    # near-perfect too — the chain is lossless through render + threshold
+    assert scores["mano"]["iou"] > 0.95
+
+
 def test_keypoint_2d_visualization():
     """Reference vis_util.py:11-75: projection + skeleton overlay."""
     from manus_tpu.utils.vis import (
