@@ -58,6 +58,62 @@ def skin_mask_from_color(
     return mask
 
 
+def calibrate_hsv_range(
+    images,  # iterable of [H, W, 3] float [0,1] RGB frames
+    paint_masks,  # iterable of [H, W] bool masks marking known paint pixels
+    coverage: float = 0.98,
+    margin: float = 0.02,
+    sv_margin: float = 0.15,
+) -> tuple:
+    """Fit (hsv_low, hsv_high) for skin_mask_from_color from labeled paint
+    samples — the calibration step real MANUS-Grasps deployments need
+    (the range is rig/paint-dependent; the library default is only a
+    blue/cyan guess). Scribble or box a few paint regions on one or two
+    frames, pass them here, use the returned range everywhere.
+
+    Hue is circular: samples are centered on their circular mean before
+    the percentile cut, so paints near the red wrap (h~0/1) calibrate
+    correctly. Returns plain-float tuples suitable for config files.
+    """
+    import cv2
+
+    hs, ss, vs = [], [], []
+    for img, m in zip(images, paint_masks):
+        img8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        hsv = cv2.cvtColor(img8, cv2.COLOR_RGB2HSV).astype(np.float32)
+        sel = np.asarray(m).astype(bool)
+        if not sel.any():
+            continue
+        hs.append(hsv[..., 0][sel] / 179.0)
+        ss.append(hsv[..., 1][sel] / 255.0)
+        vs.append(hsv[..., 2][sel] / 255.0)
+    assert hs, "no paint pixels in any provided mask"
+    h = np.concatenate(hs)
+    s = np.concatenate(ss)
+    v = np.concatenate(vs)
+
+    # circular-mean-centered hue percentiles
+    ang = h * 2 * np.pi
+    mean = np.arctan2(np.sin(ang).mean(), np.cos(ang).mean()) / (2 * np.pi)
+    h_cent = (h - mean + 0.5) % 1.0  # paint cluster now sits near 0.5
+    qlo, qhi = (1 - coverage) * 100, coverage * 100
+    h_lo, h_hi = np.percentile(h_cent, [qlo, qhi])
+    # back to absolute hue; clamp (callers with wrap-straddling paints get
+    # the widest non-wrapping range, conservative but valid)
+    h_lo = max(0.0, float(h_lo - 0.5 + mean) - margin)
+    h_hi = min(1.0, float(h_hi - 0.5 + mean) + margin)
+    # hue is the lighting-stable channel; saturation/value swing with
+    # illumination between capture sessions, so their cut gets a much
+    # wider guard band (sv_margin) than hue does
+    s_lo, s_hi = np.percentile(s, [qlo, qhi])
+    v_lo, v_hi = np.percentile(v, [qlo, qhi])
+    low = (h_lo, max(0.0, float(s_lo) - sv_margin),
+           max(0.0, float(v_lo) - sv_margin))
+    high = (h_hi, min(1.0, float(s_hi) + sv_margin),
+            min(1.0, float(v_hi) + sv_margin))
+    return low, high
+
+
 # The reference's 16 per-bone paint colors (get_iou_ours.py:93-110) — a
 # fixed palette constant shared with its Blender-side skin renders.
 BONE_COLORS = np.asarray(
