@@ -616,6 +616,13 @@ def composite_tiles_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and chunk % 128 != 0:
+        # Mosaic rejects payload-column DMAs below the 128-lane tiling
+        # ("Slice shape along dimension 1 must be aligned to tiling (128)")
+        raise ValueError(
+            f"chunk={chunk} must be a multiple of 128 on real TPU hardware "
+            "(payload columns are chunk-window DMA'd; 64 is interpret-only)"
+        )
     t_local = int(tile_offsets.shape[0])
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
