@@ -132,7 +132,7 @@ def perturb_model(model, seed=1, pos_sigma=0.004, col_sigma=0.1):
 
 def build_workload(backend: str, capacity: int, width: int, height: int,
                    views: int, gt=None, voxel_res: int = 0,
-                   lpips_params=None):
+                   lpips_params=None, return_parts: bool = False):
     """Hand-module training workload.
 
     voxel_res > 0 builds the FLAGSHIP configuration: a res^3 MANO voxel
@@ -140,6 +140,8 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     canonical train-CLI hand config at 131k/512^2/96^3. lpips_params
     additionally turns the VGG LPIPS loss on from step 0 (the canonical
     loss past start_lpips_iter), routed through the Pallas conv stack.
+    return_parts additionally returns the cfg/model/voxel grid pieces so
+    profiling scripts can time individual step stages on the same scene.
     """
     import jax
     import jax.numpy as jnp
@@ -243,6 +245,10 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
         "bone_tf": bone_tf,
         "keypoints": jnp.asarray(kp, jnp.float32),
     }
+    if return_parts:
+        parts = dict(cfg=cfg, voxel_grid=voxel_grid, model=model,
+                     cameras=cameras, bone_tf=bone_tf, extent=1.0)
+        return train_step, state, batch, parts
     return train_step, state, batch
 
 

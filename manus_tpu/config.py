@@ -96,9 +96,10 @@ class LossConfig:
     # OPT-IN perf knob (k>1 average-pools pred/gt kxk before the VGG;
     # reference runs LPIPS at full res — see losses.compute_losses)
     lpips_downsample: int = 1
-    # conv backend for the VGG loss sweep: auto | pallas | xla. auto =
-    # the implicit-GEMM bf16 Pallas stack (ops/conv_pallas.py) on TPU,
-    # fp32 XLA convs elsewhere.
+    # conv engine for the VGG loss sweep:
+    # auto | xla | xla_dx | xla_dx_bf16 | pallas (see utils/losses.py).
+    # auto = bf16 XLA convs with the dx-only custom VJP on TPU (fastest
+    # measured), fp32 XLA autodiff elsewhere.
     lpips_conv: str = "auto"
 
 

@@ -224,6 +224,237 @@ def make_lpips_conv(w: jax.Array, b: jax.Array, relu: bool = True,
     return lambda x: conv3x3(x, w, b, relu, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Layout-persistent conv chain.
+#
+# conv3x3 above pays two full HBM copies of XLA glue PER LAYER: jnp.pad on
+# the input and the junk-column slice on the output. For a 13-layer VGG
+# sweep that glue dominates (measured: the per-layer kernel runs at >2x the
+# fp32 conv roof, yet end-to-end barely beat the XLA stack). The fix is to
+# keep feature maps in the flat padded layout BETWEEN layers:
+#
+#   layout L(H, W): [rows, C] with pixel (y, x) at row  m_blk + y*(W+2) + x,
+#   where m_blk = tile_h*(W+2) is the kernel's row-block. Rows < m_blk (the
+#   top border), the two junk columns of every pixel row (which coincide
+#   exactly with the next layer's left/right zero borders, offset algebra
+#   below), rows for y >= H, and the tail block are all ZERO.
+#
+# A consumer computing pixel q = y*(W+2)+x reads taps at rows
+# lead + q + dy*(W+2) + dx with lead = m_blk - (W+3): the dy=dx=1 center tap
+# lands on m_blk + q — exactly where the producer wrote it. So the producer's
+# output IS the consumer's input, with no XLA ops in between: the kernel
+# zeroes its own junk (an iota mask fused into the bias+ReLU pass) and the
+# grid gets one leading and one trailing all-zero block for the borders.
+# DMA starts stay 16-row aligned by reading from the aligned floor and
+# shifting the (static) tap offsets by `shift = (-(W+3)) mod 16`.
+#
+# Only stage boundaries (4 maxpools + the first image) and the LPIPS head
+# touch XLA, and the head can consume the layout directly (zero rows
+# contribute nothing to the stage distance; divide by H*W instead of mean).
+# ---------------------------------------------------------------------------
+
+
+class StageLayout:
+    """Static geometry of one VGG stage's persistent layout (hashable so it
+    can ride custom_vjp nondiff_argnums and lru_cache keys)."""
+
+    __slots__ = ("h", "w", "tile_h", "m_blk", "n_blocks", "rows", "lead",
+                 "shift", "m_halo")
+
+    def __init__(self, h: int, w: int, c_max: int,
+                 vmem_budget: int = 11 << 20):
+        # DMA-start alignment needs m_blk % 16 == 0: tile_h granule 8 when
+        # W+2 is even, 16 when odd (odd widths appear via floor-halving
+        # pools, e.g. 720p reaches 80x45 at stage 4)
+        gran = 8 if (w + 2) % 2 == 0 else 16
+        c_l = max(c_max, 128)
+        best = gran
+        for th in range(gran, _round_up(max(h, gran), gran) + gran, gran):
+            m_blk = th * (w + 2)
+            m_halo = _round_up(m_blk + 2 * (w + 2) + 2 + 16, 16)
+            vmem = (
+                m_blk * c_l * 4          # fp32 accumulator scratch
+                + 2 * m_halo * c_l * 2   # double-buffered input scratch
+                + 9 * c_l * c_l * 2      # weights
+                + 2 * m_blk * c_l * 2    # pipelined output blocks
+            )
+            if vmem > vmem_budget and th > gran:
+                break
+            best = th
+            if m_blk >= 4096 or th >= h + gran - 1:
+                break
+        self.h, self.w, self.tile_h = h, w, best
+        self.m_blk = best * (w + 2)
+        self.n_blocks = _round_up(h, best) // best
+        self.rows = (self.n_blocks + 2) * self.m_blk
+        self.lead = self.m_blk - (w + 3)
+        self.shift = (-(w + 3)) % 16
+        self.m_halo = _round_up(self.m_blk + 2 * (w + 2) + 2 + self.shift,
+                                16)
+
+    def _key(self):
+        return (self.h, self.w, self.tile_h)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, StageLayout) and self._key() == other._key()
+
+
+def build_layout(x: jax.Array, L: StageLayout,
+                 dtype=jnp.bfloat16) -> jax.Array:
+    """[H, W, C] -> layout array [L.rows, max(C, 128)] (bf16, zero borders,
+    lanes zero-padded to the VMEM slicing minimum)."""
+    h, w, c = x.shape
+    cp = max(c, 128)
+    h_pad = L.tile_h * L.n_blocks
+    core = jnp.pad(x.astype(dtype), ((1, 1 + h_pad - h), (1, 1),
+                                     (0, cp - c)))
+    core = core.reshape(-1, cp)
+    return jnp.pad(core, ((L.lead, L.rows - L.lead - core.shape[0]), (0, 0)))
+
+
+def unlayout(xl: jax.Array, L: StageLayout) -> jax.Array:
+    """Layout array -> [H, W, C] (lane padding kept; harmless zeros)."""
+    h_pad = L.tile_h * L.n_blocks
+    x = xl[L.m_blk : L.m_blk + h_pad * (L.w + 2)]
+    return x.reshape(h_pad, L.w + 2, x.shape[-1])[: L.h, : L.w]
+
+
+def _conv_layout_kernel(x_hbm, w_ref, b_ref, y_ref, xs, sem, acc,
+                        *, L: StageLayout, taps, relu, n_valid_rows):
+    i = pl.program_id(0)
+    nb = L.n_blocks
+
+    def dma(slot, c):
+        start = L.lead - L.shift + c * L.m_blk
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(start, 16), L.m_halo)],
+            xs.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when((i >= 1) & (i < nb))
+    def _():
+        dma(i % 2, i).start()
+
+    is_border = (i == 0) | (i == nb + 1)
+
+    @pl.when(is_border)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    @pl.when(~is_border)
+    def _():
+        c = i - 1
+        dma(c % 2, c).wait()
+        xb = xs[c % 2]
+        for k, off in enumerate(taps):
+            part = jax.lax.dot_general(
+                xb[off : off + L.m_blk],
+                w_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if k == 0:
+                acc[:] = part
+            else:
+                acc[:] = acc[:] + part
+        out = acc[:] + b_ref[:]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        # zero the junk columns (x >= W: they land on the next layer's
+        # borders) and the y >= H padding rows, fused into this pass
+        q = jax.lax.broadcasted_iota(jnp.int32, (L.m_blk, 1), 0)
+        valid = (q % (L.w + 2) < L.w) & (q < n_valid_rows - c * L.m_blk)
+        y_ref[:] = jnp.where(valid, out, 0.0).astype(y_ref.dtype)
+
+
+def conv3x3_layout_raw(xl: jax.Array, w: jax.Array, b: jax.Array,
+                       relu: bool, L: StageLayout,
+                       interpret: Optional[bool] = None) -> jax.Array:
+    """One 3x3 SAME conv layer on the persistent layout: xl [L.rows, Cin]
+    -> [L.rows, max(Cout, 128)]. Not differentiable (see conv3x3_layout)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ci = xl.shape[-1]
+    assert ci >= 128, "layout arrays carry >=128 lanes (build_layout pads)"
+    assert w.shape[2] <= ci
+    co = w.shape[-1]
+    co_out = max(co, 128)
+    wf = jnp.pad(
+        w.astype(jnp.bfloat16).reshape(9, w.shape[2], co),
+        ((0, 0), (0, ci - w.shape[2]), (0, co_out - co)),
+    )
+    bf = jnp.pad(b.astype(jnp.float32), (0, co_out - co)).reshape(1, co_out)
+    w2 = L.w + 2
+    taps = tuple(L.shift + dy * w2 + dx
+                 for dy in range(3) for dx in range(3))
+    kernel = functools.partial(
+        _conv_layout_kernel, L=L, taps=taps, relu=relu,
+        n_valid_rows=L.h * w2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(L.n_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, ci, co_out), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, co_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L.m_blk, co_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((L.rows, co_out), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, L.m_halo, ci), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((L.m_blk, co_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xl, wf, bf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_layout(xl: jax.Array, w: jax.Array, b: jax.Array,
+                   relu: bool, L: StageLayout,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """Differentiable layout conv for frozen LPIPS layers (dx-only VJP,
+    same contract as conv3x3 — see its docstring for why (w, b) are
+    arguments). The dx of a layout conv is another layout conv with
+    flipped/transposed weights: zero borders in, zero borders out."""
+    return conv3x3_layout_raw(xl, w, b, relu, L, interpret)
+
+
+def _conv3x3_layout_fwd(xl, w, b, relu, L, interpret):
+    y = conv3x3_layout_raw(xl, w, b, relu, L, interpret)
+    return y, (y, w, b, jnp.zeros((), xl.dtype), xl.shape[-1])
+
+
+def _conv3x3_layout_bwd(relu, L, interpret, res, g):
+    y, w, b, x_dt, ci = res
+    if relu:
+        g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
+    w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    zeros_co = jnp.zeros((w.shape[2],), jnp.float32)
+    dx = conv3x3_layout_raw(g.astype(jnp.bfloat16), w_t, zeros_co, False, L,
+                            interpret)
+    # the layout carries >= max(ci, 128) lanes; dx must match xl's lanes
+    dx = dx[:, : ci] if dx.shape[-1] > ci else jnp.pad(
+        dx, ((0, 0), (0, ci - dx.shape[-1]))
+    )
+    return (dx.astype(x_dt.dtype), jnp.zeros_like(w), jnp.zeros_like(b))
+
+
+conv3x3_layout.defvjp(_conv3x3_layout_fwd, _conv3x3_layout_bwd)
+
+
 def maxpool2x2(x: jax.Array) -> jax.Array:
     """VALID 2x2 stride-2 max pool of [H, W, C] via reshape-max: values
     identical to reduce_window for non-overlapping windows, but the

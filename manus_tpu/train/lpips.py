@@ -106,18 +106,160 @@ def vgg16_features(params: dict, x: jax.Array) -> list:
     return backbone_features(params, x, "vgg")
 
 
+# --- dx-only XLA conv engine -------------------------------------------------
+# XLA's FORWARD conv lowering is fast on TPU, but the dx conv its autodiff
+# emits (transposed dimension numbers + reversed windows) is several times
+# slower than a forward conv — that gap, not the fp32 MXU roof, dominated
+# the measured LPIPS f+b cost. For a stride-1 SAME 3x3 conv, dx is exactly
+# a FORWARD-form conv with spatially-flipped, channel-transposed weights,
+# so a custom VJP makes the backward cost equal the forward's. LPIPS
+# weights are frozen (dw/db symbolic-zero), same contract as the pallas
+# engine in ops/conv_pallas.py.
+
+import functools as _functools
+
+
+def _conv3x3_xla_raw(x, w, b, relu, dtype):
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(dtype)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_xla(x, w, b, relu: bool, dtype):
+    """[1, H, W, Ci] stride-1 SAME 3x3 conv + bias (+ReLU), activations in
+    `dtype` (bf16 halves feature traffic; accumulation fp32 either way),
+    dx-only custom VJP."""
+    return _conv3x3_xla_raw(x, w, b, relu, dtype)
+
+
+def _conv3x3_xla_fwd(x, w, b, relu, dtype):
+    y = _conv3x3_xla_raw(x, w, b, relu, dtype)
+    return y, (y, w, jnp.zeros((), x.dtype))
+
+
+def _conv3x3_xla_bwd(relu, dtype, res, g):
+    y, w, x_dt = res
+    if relu:
+        g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
+    w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g.astype(dtype), w_t.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (dx.astype(x_dt.dtype), jnp.zeros_like(w),
+            jnp.zeros((w.shape[-1],), jnp.float32))
+
+
+_conv3x3_xla.defvjp(_conv3x3_xla_fwd, _conv3x3_xla_bwd)
+
+
+def vgg16_features_xla_dx(params: dict, x: jax.Array,
+                          dtype=jnp.float32) -> list:
+    """VGG16 stage features with XLA forward convs and the dx-only custom
+    VJP above. x: [H, W, 3] in [-1, 1] (no batch dim). VGG only (stride-1
+    pad-1 is what makes dx a forward-form conv)."""
+    x = ((x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE))[None].astype(dtype)
+    feats = []
+    for si, stage in enumerate(VGG_PLAN["stages"]):
+        if si in VGG_PLAN["pool_before"]:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID",
+            )
+        for li in range(len(stage)):
+            x = _conv3x3_xla(
+                x, params[f"conv{si}_{li}_w"], params[f"conv{si}_{li}_b"],
+                True, dtype,
+            )
+        feats.append(x)
+    return feats
+
+
+def lpips_distance_xla_dx(params: dict, img1: jax.Array, img2: jax.Array,
+                          dtype=jnp.float32) -> jax.Array:
+    """lpips_distance on the dx-only XLA conv engine. dtype=bf16 runs the
+    conv stack at the bf16 MXU rate with fp32 accumulation (values agree
+    with fp32 to bf16 tolerance)."""
+    assert infer_arch(params) == "vgg", "xla_dx LPIPS path is VGG-only"
+    f1 = vgg16_features_xla_dx(params, img1 * 2.0 - 1.0, dtype)
+    f2 = vgg16_features_xla_dx(params, img2 * 2.0 - 1.0, dtype)
+    return _lpips_head(params, f1, f2)
+
+
+_HEAD_EPS = 1e-10
+
+
+def _head_stage_math(a, b, lin, inv_npix):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    na = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + _HEAD_EPS)
+    nb = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + _HEAD_EPS)
+    return jnp.sum((na - nb) ** 2 * lin) * inv_npix
+
+
+@jax.custom_vjp
+def _head_stage(a, b, lin, inv_npix):
+    """One LPIPS head stage: channel-unit-normalise a and b, squared diff,
+    nonnegative 1x1 head `lin`, spatial mean (sum * inv_npix).
+
+    Custom VJP with the closed-form normalize gradient: XLA autodiff of
+    the normalize chain materialises several full-feature-map passes
+    (measured ~3.2 ms of the 512^2 LPIPS f+b); the closed form recomputes
+    the norms in ONE fused backward pass per stage:
+      d/da = c * [ g/(r_a+eps) - a (a.g) / (r_a (r_a+eps)^2) ],
+      g = 2 lin (n_a - n_b),  c = cotangent * inv_npix   (db symmetric).
+    """
+    return _head_stage_math(a, b, lin, inv_npix)
+
+
+def _head_stage_fwd(a, b, lin, inv_npix):
+    return _head_stage_math(a, b, lin, inv_npix), (a, b, lin, inv_npix)
+
+
+def _head_stage_bwd(res, ct):
+    a32, b32, lin, inv_npix = res
+    a = a32.astype(jnp.float32)
+    b = b32.astype(jnp.float32)
+    ra = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    rb = jnp.linalg.norm(b, axis=-1, keepdims=True)
+    na = a / (ra + _HEAD_EPS)
+    nb = b / (rb + _HEAD_EPS)
+    g = 2.0 * lin * (na - nb)  # [..., C]
+    c = ct * inv_npix
+
+    def d_normed(x, r, gg):
+        # d/dx [x/(||x||+eps)] applied to gg, with the zero-vector guard
+        # (zero features produce zero cotangents upstream anyway)
+        dot = jnp.sum(x * gg, axis=-1, keepdims=True)
+        safe_r = jnp.where(r > 0, r, 1.0)
+        return gg / (r + _HEAD_EPS) - x * (
+            dot / (safe_r * (r + _HEAD_EPS) ** 2)
+        )
+
+    da = (c * d_normed(a, ra, g)).astype(a32.dtype)
+    db = (-c * d_normed(b, rb, g)).astype(b32.dtype)
+    return da, db, jnp.zeros_like(lin), jnp.zeros((), jnp.float32)
+
+
+_head_stage.defvjp(_head_stage_fwd, _head_stage_bwd)
+
+
 def _lpips_head(params: dict, f1: list, f2: list) -> jax.Array:
     """Unit-normalise stage features, squared diff, learned 1x1 heads,
-    spatial mean, sum over stages (fp32 regardless of feature dtype)."""
+    spatial mean, sum over stages (fp32 regardless of feature dtype).
+    Each stage runs through the fused custom-VJP _head_stage."""
     total = jnp.asarray(0.0)
     for k, (a, b) in enumerate(zip(f1, f2)):
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
-        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
-        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
-        diff = (a - b) ** 2
         lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
-        total = total + jnp.mean(jnp.sum(diff * lin, -1))
+        npix = float(np.prod(a.shape[:-1]))
+        total = total + _head_stage(a, b, lin, 1.0 / npix)
     return total
 
 
@@ -133,26 +275,64 @@ def lpips_distance(params: dict, img1: jax.Array, img2: jax.Array) -> jax.Array:
     return _lpips_head(params, f1, f2)
 
 
-def vgg16_features_pallas(params: dict, x: jax.Array,
-                          interpret=None) -> list:
-    """VGG16 stage features via the implicit-GEMM Pallas conv stack
-    (ops/conv_pallas.py): bf16 MXU matmuls with fp32 accumulation, fused
-    bias+ReLU, reshape-max pools. x: [H, W, 3] in [-1, 1] (no batch dim)."""
-    from manus_tpu.ops.conv_pallas import make_lpips_conv, maxpool2x2
+def _vgg_stage_layouts(h: int, w: int) -> list:
+    """One StageLayout per VGG stage for an HxW input (static geometry)."""
+    from manus_tpu.ops.conv_pallas import StageLayout
 
-    x = (x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE)
-    feats = []
+    layouts = []
     for si, stage in enumerate(VGG_PLAN["stages"]):
         if si in VGG_PLAN["pool_before"]:
-            x = maxpool2x2(x)
+            h, w = h // 2, w // 2
+        c_max = max(c for c, *_ in stage)
+        layouts.append(StageLayout(h, w, max(c_max, 128)))
+    return layouts
+
+
+def vgg16_features_pallas(params: dict, x: jax.Array,
+                          interpret=None) -> list:
+    """VGG16 stage features via the layout-persistent implicit-GEMM Pallas
+    conv chain (ops/conv_pallas.py): bf16 MXU matmuls with fp32
+    accumulation, fused bias+ReLU+border-masking; feature maps stay in the
+    flat padded layout between convs so the only XLA glue is at the 4
+    inter-stage maxpools. x: [H, W, 3] in [-1, 1] (no batch dim).
+
+    Returns the 5 stage features as LAYOUT pairs [(feat, StageLayout),
+    ...]; use `manus_tpu.ops.conv_pallas.unlayout(feat, L)` for [H, W, C]
+    tensors."""
+    from manus_tpu.ops.conv_pallas import (
+        build_layout, conv3x3_layout, maxpool2x2, unlayout,
+    )
+
+    x = (x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE)
+    layouts = _vgg_stage_layouts(x.shape[0], x.shape[1])
+    feats = []
+    xl = None
+    for si, stage in enumerate(VGG_PLAN["stages"]):
+        L = layouts[si]
+        if si in VGG_PLAN["pool_before"]:
+            xl = build_layout(maxpool2x2(unlayout(xl, layouts[si - 1])), L)
+        elif xl is None:
+            xl = build_layout(x, L)
         for li in range(len(stage)):
-            conv = make_lpips_conv(
-                params[f"conv{si}_{li}_w"], params[f"conv{si}_{li}_b"],
-                relu=True, interpret=interpret,
+            xl = conv3x3_layout(
+                xl, params[f"conv{si}_{li}_w"], params[f"conv{si}_{li}_b"],
+                True, L, interpret,
             )
-            x = conv(x)
-        feats.append(x)
+        feats.append((xl, L))
     return feats
+
+
+def _lpips_head_layout(params: dict, f1: list, f2: list) -> jax.Array:
+    """LPIPS head on layout-form stage features: identical math to
+    _lpips_head — border/junk rows and padding lanes are zero in BOTH
+    feature sets so they contribute nothing, and the spatial mean divides
+    by the true H*W."""
+    total = jnp.asarray(0.0)
+    for k, ((a, L), (b, _)) in enumerate(zip(f1, f2)):
+        lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
+        lin = jnp.pad(lin, (0, a.shape[-1] - lin.shape[0]))
+        total = total + _head_stage(a, b, lin, 1.0 / (L.h * L.w))
+    return total
 
 
 def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
@@ -167,7 +347,7 @@ def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
     x2 = img2 * 2.0 - 1.0
     f1 = vgg16_features_pallas(params, x1, interpret)
     f2 = vgg16_features_pallas(params, x2, interpret)
-    return _lpips_head(params, f1, f2)
+    return _lpips_head_layout(params, f1, f2)
 
 
 def load_lpips_params(path: str) -> Optional[dict]:

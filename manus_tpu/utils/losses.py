@@ -153,20 +153,35 @@ def compute_losses(
             else:
                 from manus_tpu.train.lpips import (
                     infer_arch, lpips_distance, lpips_distance_pallas,
+                    lpips_distance_xla_dx,
                 )
 
-                # conv backend for the VGG sweep: "pallas" = implicit-GEMM
-                # bf16 MXU kernels (ops/conv_pallas.py, ~4x the fp32 XLA
-                # roof on TPU); "xla" = fp32 conv_general_dilated. "auto"
-                # picks pallas on TPU for VGG params.
-                use_pallas = lpips_conv == "pallas" or (
-                    lpips_conv == "auto"
-                    and jax.default_backend() == "tpu"
-                    and infer_arch(lpips_params) == "vgg"
-                )
-                dist = (
-                    lpips_distance_pallas if use_pallas else lpips_distance
-                )
+                # Conv engine for the VGG sweep (all engines share the
+                # fused custom-VJP head; measured at 512^2 on v5e, see
+                # PARITY.md round-3 notes):
+                #   "xla"         fp32 conv_general_dilated, autodiff dx
+                #   "xla_dx"      fp32 XLA convs, dx-only custom VJP
+                #   "xla_dx_bf16" bf16 XLA convs (fp32 accum) — fastest
+                #   "pallas"      implicit-GEMM layout kernels
+                #                 (ops/conv_pallas.py)
+                # "auto" = xla_dx_bf16 on TPU for VGG params, else xla.
+                engine = lpips_conv
+                if engine == "auto":
+                    engine = (
+                        "xla_dx_bf16"
+                        if jax.default_backend() == "tpu"
+                        and infer_arch(lpips_params) == "vgg"
+                        else "xla"
+                    )
+                if engine == "pallas":
+                    dist = lpips_distance_pallas
+                elif engine == "xla_dx":
+                    dist = lpips_distance_xla_dx
+                elif engine == "xla_dx_bf16":
+                    def dist(p, a, b):
+                        return lpips_distance_xla_dx(p, a, b, jnp.bfloat16)
+                else:
+                    dist = lpips_distance
 
                 def _pool(img, k):
                     h, w = img.shape[0] // k * k, img.shape[1] // k * k

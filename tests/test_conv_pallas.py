@@ -104,6 +104,86 @@ def test_maxpool2x2_matches_reduce_window():
     assert float(jnp.sum(g)) == pytest.approx(4 * 4 * 2)
 
 
+@pytest.mark.parametrize(
+    "h,w,ci,co",
+    [
+        (13, 9, 3, 8),     # tiny, odd width (tile_h granule 16)
+        (16, 16, 8, 16),   # even width (granule 8)
+        (45, 45, 16, 8),   # the 720p stage-4 odd-width case, scaled down
+        (7, 4, 4, 4),      # W+2 even, multiple blocks
+    ],
+)
+def test_conv3x3_layout_chain_parity(h, w, ci, co):
+    """The layout-persistent conv (build_layout -> conv3x3_layout x2 ->
+    unlayout) matches two chained XLA convs: the producer's layout output
+    must BE the consumer's input (zero borders, junk columns zeroed by the
+    in-kernel mask, W+3-shift offset algebra)."""
+    from manus_tpu.ops.conv_pallas import (
+        StageLayout, build_layout, conv3x3_layout, unlayout,
+    )
+
+    rng = np.random.RandomState(h * 31 + w)
+    x = jnp.asarray(rng.normal(0, 1, (h, w, ci)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.3, (3, 3, ci, co)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.2, (co,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.3, (3, 3, co, co)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.2, (co,)), jnp.float32)
+
+    L = StageLayout(h, w, max(ci, co, 128))
+    xl = build_layout(x, L)
+    yl = conv3x3_layout(xl, w1, b1, True, L, True)
+    zl = conv3x3_layout(yl, w2, b2, True, L, True)
+    got = np.asarray(unlayout(zl, L)[:, :, :co], np.float32)
+
+    ref1 = xla_conv_bf16(x, w1, b1, True)
+    ref2 = np.asarray(xla_conv_bf16(ref1, w2, b2, True), np.float32)
+    np.testing.assert_allclose(got, ref2, atol=0.08, rtol=0.08)
+
+    # gradient flows through the chained layout convs (dx-only VJP)
+    r = jnp.asarray(rng.normal(0, 1, got.shape), jnp.float32)
+
+    def loss_layout(xx):
+        al = build_layout(xx, L)
+        bl = conv3x3_layout(al, w1, b1, True, L, True)
+        cl = conv3x3_layout(bl, w2, b2, True, L, True)
+        return jnp.sum(unlayout(cl, L)[:, :, :co].astype(jnp.float32) * r)
+
+    def loss_xla(xx):
+        y1 = jax.nn.relu(jax.lax.conv_general_dilated(
+            xx[None], w1, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + b1)
+        y2 = jax.nn.relu(jax.lax.conv_general_dilated(
+            y1[None], w2, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + b2)
+        return jnp.sum(y2 * r)
+
+    g_l = np.asarray(jax.grad(loss_layout)(x)).ravel()
+    g_x = np.asarray(jax.grad(loss_xla)(x)).ravel()
+    cos = np.dot(g_l, g_x) / (np.linalg.norm(g_l) * np.linalg.norm(g_x)
+                              + 1e-12)
+    assert cos > 0.99, f"layout-chain gradient diverged: cos={cos}"
+
+
+def test_build_unlayout_roundtrip():
+    from manus_tpu.ops.conv_pallas import StageLayout, build_layout, unlayout
+
+    rng = np.random.RandomState(5)
+    for h, w, c in ((9, 5, 3), (16, 32, 64), (45, 45, 8)):
+        L = StageLayout(h, w, 128)
+        x = jnp.asarray(rng.normal(0, 1, (h, w, c)), jnp.float32)
+        xl = build_layout(x, L)
+        assert xl.shape == (L.rows, max(c, 128))
+        back = np.asarray(unlayout(xl, L), np.float32)
+        np.testing.assert_allclose(back[:, :, :c],
+                                   np.asarray(x, np.float32), atol=0.02)
+        # padding lanes and borders are zero
+        assert float(jnp.abs(back[:, :, c:]).max() if c < 128 else 0.0) == 0
+        core = np.asarray(xl, np.float32)
+        core[L.m_blk + np.arange(h)[:, None] * (w + 2)
+             + np.arange(w)[None, :]] = 0  # zero the pixel rows
+        assert np.abs(core).max() == 0, "non-pixel rows must be zero"
+
+
 def test_lpips_distance_pallas_parity():
     """End-to-end: the pallas VGG LPIPS agrees with the fp32 XLA path to
     bf16 tolerance in value AND gradient direction (the VERDICT r2 done
@@ -136,6 +216,34 @@ def test_lpips_distance_pallas_parity():
                                        interpret=True)) < 1e-5
 
 
+def test_lpips_xla_dx_engine_parity():
+    """The dx-only XLA conv engine (forward-form flipped-weight dx conv,
+    train/lpips.py) matches the autodiff XLA path in value and gradient
+    direction, in fp32 (tight) and bf16 (tolerance)."""
+    from manus_tpu.train.lpips import (
+        lpips_distance, lpips_distance_xla_dx, random_lpips_params,
+    )
+
+    params = random_lpips_params(0, arch="vgg")
+    rng = np.random.RandomState(2)
+    img1 = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    d0, g0 = jax.value_and_grad(
+        lambda a: lpips_distance(params, a, img2)
+    )(img1)
+    g0 = np.asarray(g0).ravel()
+    for dt, dtol, ctol in ((jnp.float32, 1e-4, 0.9999),
+                           (jnp.bfloat16, 0.05, 0.99)):
+        d1, g1 = jax.value_and_grad(
+            lambda a: lpips_distance_xla_dx(params, a, img2, dt)
+        )(img1)
+        assert abs(float(d1) - float(d0)) < dtol * max(float(d0), 1e-3)
+        g1 = np.asarray(g1).ravel()
+        cos = np.dot(g0, g1) / (np.linalg.norm(g0) * np.linalg.norm(g1)
+                                + 1e-12)
+        assert cos > ctol, f"{dt}: cos={cos}"
+
+
 def test_compute_losses_pallas_backend():
     """The lpips_conv='pallas' knob routes compute_losses through the
     pallas stack under jit and stays consistent with the xla route."""
@@ -150,7 +258,7 @@ def test_compute_losses_pallas_backend():
     ac = jnp.ones(10, bool)
 
     vals = {}
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas", "xla_dx", "xla_dx_bf16"):
         @jax.jit
         def f(p, g):
             return L.compute_losses(
@@ -161,4 +269,5 @@ def test_compute_losses_pallas_backend():
 
         vals[backend] = float(f(pred, gt))
     assert vals["pallas"] > 0
-    assert abs(vals["pallas"] - vals["xla"]) < 0.05 * vals["xla"]
+    for backend in ("pallas", "xla_dx", "xla_dx_bf16"):
+        assert abs(vals[backend] - vals["xla"]) < 0.05 * vals["xla"], backend
