@@ -29,6 +29,14 @@ ms for a 262k 2-operand sort) and major-dim row gathers ~0.6 ms. So:
 
 The backward is a custom VJP because autodiff of the forward gather would
 reintroduce exactly the scatter-add this design exists to avoid.
+
+A field-major backward rewrite (the 9 cotangent field rows riding both
+sorts as extra [total] operands, doubling on a [9, total] stack) was
+measured SLOWER like-for-like (2.89 vs 2.31 ms f+b at bench scale,
+scripts/bench_payload_variants.py): component probes put the 10-operand
+sort at ~0.15 ms and both doubling forms near the noise floor, i.e. the
+hypothesized 16->128 minor-dim padding tax never bound — XLA fuses the
+[T, 16] passes well — so the pair-major form below stands.
 """
 from __future__ import annotations
 
@@ -72,31 +80,23 @@ def _gather_pairs_fwd(tg_max, means2d, conic, colors, opacity, src):
 
 
 def _gather_pairs_bwd(tg_max, res, d_payload):
-    """Field-major scatter-free backward. The kernel's [16, P] cotangent
-    ROWS are already the per-field pair vectors, so the 9 live fields ride
-    both sorts as extra [total] operands (CLAUDE.md: carry fields through
-    sorts instead of gathering afterwards) and the segmented suffix-sum
-    runs on a [9, total] stack. The earlier pair-major form ([P+N, 16])
-    paid an 8x physical-layout tax on every pass: TPU tiles rank-2 f32 to
-    (8, 128), so a 16-lane minor dim is padded to 128 in HBM — the
-    transpose, the row gather, and all 7 doubling steps each moved ~8x
-    the live bytes."""
     n, src = res
     p = src.shape[0]
-    total = p + n
+    d_rows = d_payload.T  # [P, 16]
 
     # Keys: source gaussian id; dead pairs key to n (sort to the tail and
     # never match a real run). One zero-cotangent ghost pair per gaussian
     # guarantees every id owns a run.
     key = jnp.where(src >= 0, src, n).astype(jnp.int32)
     keys = jnp.concatenate([key, jnp.arange(n, dtype=jnp.int32)])
-    live = [
-        jnp.concatenate([d_payload[f], jnp.zeros((n,), d_payload.dtype)])
-        for f in range(9)
-    ]
-    sorted_ops = jax.lax.sort((keys, *live), num_keys=1)
-    skey = sorted_ops[0]
-    s = jnp.stack(sorted_ops[1:])  # [9, total], grouped by gaussian
+    total = p + n
+    skey, pos = jax.lax.sort(
+        (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1
+    )
+    dr_ext = jnp.concatenate(
+        [d_rows, jnp.zeros((n, NUM_FIELDS), d_rows.dtype)], axis=0
+    )
+    s = jnp.take(dr_ext, pos, axis=0)  # [P+N, 16], grouped by gaussian
 
     # Segmented suffix-sum by pointer doubling: runs are <= tg_max + 1
     # entries (tg_max pairs + the ghost), so ceil(log2(tg_max+1)) steps.
@@ -110,27 +110,26 @@ def _gather_pairs_bwd(tg_max, res, d_payload):
             [g[sh:] == g[:-sh], jnp.zeros((sh,), bool)]
         )
         shifted = jnp.concatenate(
-            [s[:, sh:], jnp.zeros((9, sh), s.dtype)], axis=1
+            [s[sh:], jnp.zeros((sh, NUM_FIELDS), s.dtype)], axis=0
         )
-        s = s + jnp.where(same[None, :], shifted, 0.0)
+        s = s + jnp.where(same[:, None], shifted, 0.0)
 
     # Run starts carry the full segment sum; every gaussian id has exactly
     # one (ghosts), so sorting (id at starts, unique big keys elsewhere)
-    # puts start positions 0..n-1 in gaussian-id order. The 9 sums ride
-    # this sort as values too.
+    # puts start positions 0..n-1 in gaussian-id order.
     idx = jnp.arange(total, dtype=jnp.int32)
     start = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     )
     key2 = jnp.where(start & (skey < n), skey, n + idx)
-    out_ops = jax.lax.sort((key2, *[s[f] for f in range(9)]), num_keys=1)
-    d = [v[:n] for v in out_ops[1:]]
+    _, pos2 = jax.lax.sort((key2, idx), num_keys=1)
+    d_fields = jnp.take(s, pos2[:n], axis=0)  # [N, 16]
 
     return (
-        jnp.stack([d[F_MEAN_X], d[F_MEAN_Y]], axis=1),  # means2d
-        jnp.stack([d[F_CONIC_A], d[F_CONIC_B], d[F_CONIC_C]], axis=1),
-        jnp.stack([d[F_R], d[F_G], d[F_B]], axis=1),  # colors
-        d[F_OPACITY],  # opacity
+        d_fields[:, 0:2],  # means2d
+        d_fields[:, 2:5],  # conic
+        d_fields[:, 6:9],  # colors
+        d_fields[:, 5],  # opacity
         np.zeros(src.shape, jax.dtypes.float0),
     )
 

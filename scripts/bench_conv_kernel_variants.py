@@ -1,0 +1,221 @@
+"""Single-layer conv kernel variants, timed like-for-like in ONE session.
+
+The layout conv kernel (ops/conv_pallas.py) measured ~110 TF/s per layer —
+3.5x off the bf16 MXU peak — with 9 per-tap dots accumulated through a
+VMEM fp32 scratch (acc[:] = acc[:] + part forces a VPU RMW pass per tap).
+This bench compares in-kernel accumulation strategies at one VGG layer
+shape to pick the v2 form:
+
+  tap9_scratch — current: 9 dots K=Ci, VMEM scratch accumulate
+  tap9_value   — 9 dots K=Ci, pure-value (register) accumulate
+  kcat3        — dy-grouped: 3 lane-concats -> 3 dots K=3*Ci, 2 adds
+  kcat9        — one lane-concat -> 1 dot K=9*Ci
+
+plus the XLA references (fp32 conv, bf16 conv) at the same shape.
+
+Run: python scripts/bench_conv_kernel_variants.py [H W Ci Co]
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+from manus_tpu.ops.conv_pallas import (  # noqa: E402
+    StageLayout, build_layout, conv3x3_layout_raw, unlayout,
+)
+
+
+def make_layout_conv_variant(L: StageLayout, ci: int, co: int, mode: str):
+    """A conv3x3_layout_raw clone with a selectable accumulation strategy."""
+    w2 = L.w + 2
+    taps = tuple(L.shift + dy * w2 + dx for dy in range(3) for dx in range(3))
+
+    def kernel(x_hbm, w_ref, b_ref, y_ref, xs, sem, acc):
+        i = pl.program_id(0)
+        nb = L.n_blocks
+
+        def dma(slot, c):
+            start = L.lead - L.shift + c * L.m_blk
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(start, 16), L.m_halo)],
+                xs.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when((i >= 1) & (i < nb))
+        def _():
+            dma(i % 2, i).start()
+
+        is_border = (i == 0) | (i == nb + 1)
+
+        @pl.when(is_border)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        @pl.when(~is_border)
+        def _():
+            c = i - 1
+            dma(c % 2, c).wait()
+            xb = xs[c % 2]
+
+            def dot(a, wk):
+                return jax.lax.dot_general(
+                    a, wk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            if mode == "tap9_scratch":
+                for k, off in enumerate(taps):
+                    part = dot(xb[off : off + L.m_blk], w_ref[k])
+                    if k == 0:
+                        acc[:] = part
+                    else:
+                        acc[:] = acc[:] + part
+                out = acc[:] + b_ref[:]
+            elif mode == "tap9_value":
+                out = b_ref[:]
+                for k, off in enumerate(taps):
+                    out = out + dot(xb[off : off + L.m_blk], w_ref[k])
+            elif mode == "kcat3":
+                out = b_ref[:]
+                for g in range(3):
+                    xcat = jnp.concatenate(
+                        [xb[taps[3 * g + j] : taps[3 * g + j] + L.m_blk]
+                         for j in range(3)], axis=1)
+                    wcat = jnp.concatenate(
+                        [w_ref[3 * g + j] for j in range(3)], axis=0)
+                    out = out + dot(xcat, wcat)
+            elif mode == "kcat9":
+                xcat = jnp.concatenate(
+                    [xb[off : off + L.m_blk] for off in taps], axis=1)
+                wcat = jnp.concatenate([w_ref[k] for k in range(9)], axis=0)
+                out = b_ref[:] + dot(xcat, wcat)
+            else:
+                raise ValueError(mode)
+            out = jnp.maximum(out, 0.0)
+            q = jax.lax.broadcasted_iota(jnp.int32, (L.m_blk, 1), 0)
+            valid = (q % w2 < L.w) & (q < L.h * w2 - c * L.m_blk)
+            y_ref[:] = jnp.where(valid, out, 0.0).astype(y_ref.dtype)
+
+    co_out = max(co, 128)
+
+    def run(xl, wf, bf):
+        return pl.pallas_call(
+            kernel,
+            grid=(L.n_blocks + 2,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((9, ci, co_out), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, co_out), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((L.m_blk, co_out), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((L.rows, co_out), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((2, L.m_halo, ci), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((L.m_blk, co_out), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(xl, wf, bf)
+
+    return run
+
+
+def chain_time(name, fn, *args, flop=None):
+    @jax.jit
+    def chain(k, *a):
+        def body(_, carry):
+            out = fn(*a)
+            return carry + out.astype(jnp.float32).ravel()[:1] * 1e-12
+
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((1,), jnp.float32))
+
+    t0 = time.time()
+    np.asarray(chain(jnp.asarray(2), *args))
+    tc = time.time() - t0
+
+    def timed(k):
+        t = time.time()
+        np.asarray(chain(jnp.asarray(k), *args))
+        return time.time() - t
+
+    t2 = min(timed(2) for _ in range(2))
+    t42 = min(timed(42) for _ in range(2))
+    per = (t42 - t2) / 40
+    tfs = (flop / per / 1e12) if flop else 0.0
+    print(f"{name:16s} {per * 1e3:7.3f} ms/iter  {tfs:6.1f} TF/s "
+          f"(compile {tc:.0f}s)", flush=True)
+    return per
+
+
+def main():
+    args = [int(a) for a in sys.argv[1:5]] or [256, 256, 128, 128]
+    h, w, ci, co = args
+    print(f"platform: {jax.devices()[0].platform}  layer {h}x{w} "
+          f"{ci}->{co}", flush=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0, 1, (h, w, ci)), jnp.float32)
+    wt = jnp.asarray(rng.normal(0, 0.1, (3, 3, ci, co)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (co,)), jnp.float32)
+    flop = 2.0 * h * w * ci * co * 9
+
+    L = StageLayout(h, w, max(ci, co, 128))
+    ci_l = max(ci, 128)
+    co_l = max(co, 128)
+    xl = jax.jit(lambda a: build_layout(a, L))(x)
+    wf = jnp.pad(wt.astype(jnp.bfloat16).reshape(9, ci, co),
+                 ((0, 0), (0, ci_l - ci), (0, co_l - co)))
+    bf = jnp.pad(b.astype(jnp.float32), (0, co_l - co)).reshape(1, co_l)
+
+    # agreement guard: each variant vs the committed layout kernel
+    ref = np.asarray(
+        unlayout(conv3x3_layout_raw(xl, wt, b, True, L), L)[:, :, :co],
+        np.float32)
+
+    results = {}
+    for mode in ("tap9_scratch", "tap9_value", "kcat3", "kcat9"):
+        run = make_layout_conv_variant(L, ci_l, co, mode)
+        got = np.asarray(unlayout(run(xl, wf, bf), L)[:, :, :co], np.float32)
+        err = np.abs(got - ref).max()
+        tag = "ok" if err < 0.05 else f"MISMATCH {err:.4f}"
+        print(f"  agreement[{mode}]: {tag}", flush=True)
+        results[mode] = chain_time(mode, run, xl, wf, bf, flop=flop)
+
+    # XLA references at the same shape
+    def conv_xla(dt):
+        def f(a, wt_, b_):
+            out = jax.lax.conv_general_dilated(
+                a.astype(dt)[None], wt_.astype(dt), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )[0] + b_
+            return jnp.maximum(out, 0.0).astype(dt)
+
+        return f
+
+    chain_time("xla_fp32", conv_xla(jnp.float32), x, wt, b, flop=flop)
+    chain_time("xla_bf16", conv_xla(jnp.bfloat16), x, wt, b, flop=flop)
+
+    best = min(results, key=results.get)
+    print(f"best kernel variant: {best} ({results[best] * 1e3:.3f} ms)")
+
+
+if __name__ == "__main__":
+    main()
