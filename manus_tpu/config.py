@@ -101,6 +101,13 @@ class LossConfig:
     # auto = bf16 XLA convs with the dx-only custom VJP on TPU (fastest
     # measured), fp32 XLA autodiff elsewhere.
     lpips_conv: str = "auto"
+    # gt LPIPS feature-cache budget (MB). The trainer precomputes the
+    # engine-matched VGG features of every device-cached gt image ONCE and
+    # the train step skips the gt forward (~1/3 of the LPIPS f+b cost).
+    # EXACT — the gt branch never carried gradient. Auto-disabled when over
+    # budget, when the dataset device cache is off, or when
+    # dataset.bg_color == "random" (gt changes per step). 0 = off.
+    lpips_gt_cache_mb: int = 4096
 
 
 @dataclasses.dataclass

@@ -85,7 +85,7 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     out = {}
     for key, val in batch.items():
-        if key in ("rgb", "mask", "cameras"):
+        if key in ("rgb", "mask", "cameras", "lpips_gt_feats"):
             out[key] = jax.tree.map(place, val)
         else:
             out[key] = jax.tree.map(lambda x: global_put(x, rep), val)

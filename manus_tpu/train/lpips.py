@@ -350,6 +350,83 @@ def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
     return _lpips_head_layout(params, f1, f2)
 
 
+# --- cached-gt LPIPS ---------------------------------------------------------
+# The gt image of a (frame, view) never changes during training (unless the
+# background is re-randomised per step), so its backbone features can be
+# computed ONCE per image and reused every step: the gt forward is ~1/3 of
+# the per-step LPIPS f+b cost (pred fwd + pred dx bwd + gt fwd). This is
+# EXACT — the cached features are the same values the engine would have
+# recomputed — not an approximation. The trainer builds the cache alongside
+# its device-resident dataset cache (trainer._build_lpips_feat_cache).
+
+
+def resolve_lpips_engine(lpips_conv: str, params: dict) -> str:
+    """Conv-engine resolution shared by compute_losses and the trainer's
+    gt-feature cache: 'auto' = the measured-fastest engine on TPU for VGG
+    params (xla_dx_bf16, see PARITY.md round-3 notes), fp32 XLA autodiff
+    elsewhere. The cache MUST be built with the same engine the loss uses:
+    feature values (and layouts, for pallas) differ across engines."""
+    if lpips_conv != "auto":
+        return lpips_conv
+    return (
+        "xla_dx_bf16"
+        if jax.default_backend() == "tpu" and infer_arch(params) == "vgg"
+        else "xla"
+    )
+
+
+def pool_avg(img: jax.Array, k: int) -> jax.Array:
+    """k x k average pool of [H, W, C] (the loss.lpips_downsample knob).
+    Shared by compute_losses and the gt-feature cache so the cached
+    features always match the loss's pooled inputs."""
+    if k <= 1:
+        return img
+    h, w = img.shape[0] // k * k, img.shape[1] // k * k
+    return img[:h, :w].reshape(
+        h // k, k, w // k, k, img.shape[2]
+    ).mean(axis=(1, 3))
+
+
+def lpips_features(params: dict, img: jax.Array, engine: str,
+                   interpret=None) -> list:
+    """Engine-matched backbone stage features of img ([H, W, 3] in [0, 1]),
+    batch dims stripped. For the 'pallas' engine the entries are layout
+    arrays (their StageLayouts are static functions of the image shape)."""
+    x = img * 2.0 - 1.0
+    if engine == "pallas":
+        return [f for f, _ in vgg16_features_pallas(params, x, interpret)]
+    if engine == "xla_dx":
+        return [f[0] for f in vgg16_features_xla_dx(params, x, jnp.float32)]
+    if engine == "xla_dx_bf16":
+        return [f[0] for f in vgg16_features_xla_dx(params, x, jnp.bfloat16)]
+    return [f[0] for f in backbone_features(
+        params, x[None].astype(jnp.float32), infer_arch(params)
+    )]
+
+
+def lpips_distance_cached(params: dict, img1: jax.Array, gt_feats: list,
+                          engine: str, interpret=None) -> jax.Array:
+    """LPIPS distance between img1 and a gt whose engine-matched features
+    were precomputed by lpips_features. No gradient ever flowed to the gt
+    branch, so this changes nothing but the cost."""
+    gt_feats = [jax.lax.stop_gradient(f) for f in gt_feats]
+    x1 = img1 * 2.0 - 1.0
+    if engine == "pallas":
+        f1 = vgg16_features_pallas(params, x1, interpret)
+        layouts = [L for _, L in f1]
+        return _lpips_head_layout(
+            params, f1, list(zip(gt_feats, layouts))
+        )
+    if engine in ("xla_dx", "xla_dx_bf16"):
+        dt = jnp.bfloat16 if engine == "xla_dx_bf16" else jnp.float32
+        f1 = [f[0] for f in vgg16_features_xla_dx(params, x1, dt)]
+    else:
+        f1 = [f[0] for f in backbone_features(
+            params, x1[None].astype(jnp.float32), infer_arch(params)
+        )]
+    return _lpips_head(params, f1, gt_feats)
+
+
 def load_lpips_params(path: str) -> Optional[dict]:
     """Load LPIPS backbone weights from an npz. Returns None if unavailable."""
     if not path or not os.path.exists(path):

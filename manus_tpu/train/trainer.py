@@ -193,6 +193,7 @@ class Trainer:
             else np.zeros(3, np.float32)
         )
         self._device_cache = self._build_device_cache()
+        self._lpips_feat_cache = self._build_lpips_feat_cache()
         self._bg_dev = jnp.asarray(self.bg)  # staged once, reused per step
 
     # ---- batching -------------------------------------------------------
@@ -220,6 +221,62 @@ class Trainer:
             jnp.asarray(np.stack(rgb_f)),  # [F, V, H, W, 3]
             jnp.asarray(np.stack(mask_f)),  # [F, V, H, W, 1]
         )
+
+    def _build_lpips_feat_cache(self):
+        """Precompute the engine-matched gt LPIPS stage features of every
+        device-cached image (train/lpips.lpips_features): the per-step gt
+        VGG forward is ~1/3 of the LPIPS f+b cost and its inputs never
+        change. Returns a tuple of per-stage [F, V, ...] arrays, or None
+        when disabled (no lpips loss, over the lpips_gt_cache_mb budget,
+        no device cache, or per-step-random background)."""
+        cfg = self.cfg
+        if (
+            self.lpips_params is None
+            or "lpips_loss" not in cfg.loss.losses
+            or cfg.loss.lpips_gt_cache_mb <= 0
+            or cfg.dataset.bg_color == "random"
+            or self._device_cache is None
+        ):
+            return None
+        from manus_tpu.train.lpips import (
+            lpips_features, pool_avg, resolve_lpips_engine,
+        )
+
+        engine = resolve_lpips_engine(cfg.loss.lpips_conv, self.lpips_params)
+        k = cfg.loss.lpips_downsample
+
+        def feats_fn(params, img):
+            return lpips_features(params, pool_avg(img, k), engine)
+
+        rgb_all, _ = self._device_cache
+        f_n, v_n = rgb_all.shape[:2]
+        shapes = jax.eval_shape(feats_fn, self.lpips_params, rgb_all[0, 0])
+        per_img = sum(
+            int(np.prod(s.shape)) * s.dtype.itemsize for s in shapes
+        )
+        total_mb = per_img * f_n * v_n / (1 << 20)
+        if total_mb > cfg.loss.lpips_gt_cache_mb:
+            print(
+                f"[lpips] gt-feature cache skipped: {total_mb:.0f} MB over "
+                f"loss.lpips_gt_cache_mb={cfg.loss.lpips_gt_cache_mb}"
+            )
+            return None
+        fn = jax.jit(feats_fn)
+        frames = []
+        for f in range(f_n):
+            per_stage = [[] for _ in shapes]
+            for v in range(v_n):
+                for s, a in enumerate(fn(self.lpips_params, rgb_all[f, v])):
+                    per_stage[s].append(a)
+            frames.append([jnp.stack(x) for x in per_stage])
+        cache = tuple(
+            jnp.stack([fr[s] for fr in frames]) for s in range(len(shapes))
+        )
+        print(
+            f"[lpips] gt-feature cache: {f_n * v_n} images, "
+            f"{total_mb:.0f} MB ({engine})"
+        )
+        return cache
 
     def sample_batch(self):
         v = self.cfg.trainer.batch_views
@@ -250,6 +307,11 @@ class Trainer:
             "cameras": index_camera(ds.cameras, views),
             "bg": bg,
         }
+        if self._lpips_feat_cache is not None:
+            # on-device gathers of the precomputed gt stage features
+            batch["lpips_gt_feats"] = tuple(
+                a[f, views] for a in self._lpips_feat_cache
+            )
         if self.articulated:
             batch["bone_tf"] = self._bone_tf(f)
             batch["keypoints"] = jnp.asarray(ds.bones_posed[f].keypoints())

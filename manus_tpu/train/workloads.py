@@ -172,7 +172,7 @@ def make_train_step(
         else:
             scaling_full, active_full = scaling, active
 
-        def render_view(cam, rgb, m2d_v):
+        def render_view(cam, rgb, m2d_v, gt_feats=None):
             out = render_gaussians(
                 posed_xyz, posed_cov, params.xyz, feats, opac, cam,
                 batch["bg"], sh_degree=opts.sh_degree, tf=tf, active=active,
@@ -185,6 +185,7 @@ def make_train_step(
                 lpips_params=lpips_params, lpips_enabled=lpips_on,
                 lpips_downsample=cfg.loss.lpips_downsample,
                 lpips_conv=cfg.loss.lpips_conv,
+                lpips_gt_feats=gt_feats,
             )
             return total, (out.radii, out.render, parts,
                            jnp.stack([out.overflow, out.overflow_far]))
@@ -195,9 +196,14 @@ def make_train_step(
         # only its local shard.
         cams = batch["cameras"]
         v = batch["rgb"].shape[0]
+        # Precomputed gt LPIPS features (trainer gt-feature cache): a
+        # tuple of per-stage arrays with leading V, sliced per view.
+        gt_feats_v = batch.get("lpips_gt_feats")
         outs = [
             render_view(
-                index_camera(cams, i), batch["rgb"][i], m2d_off[i]
+                index_camera(cams, i), batch["rgb"][i], m2d_off[i],
+                None if gt_feats_v is None
+                else [a[i] for a in gt_feats_v],
             )
             for i in range(v)
         ]

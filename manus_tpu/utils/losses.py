@@ -124,6 +124,7 @@ def compute_losses(
     lpips_enabled: jax.Array | None = None,
     lpips_downsample: int = 1,
     lpips_conv: str = "auto",
+    lpips_gt_feats: list | None = None,
 ) -> tuple[jax.Array, dict]:
     """Weighted multi-loss as in reference base.py:323-365.
 
@@ -135,6 +136,11 @@ def compute_losses(
     OPT-IN deviation from the reference (which runs LPIPS at full
     resolution): the batch-1 VGG f+b costs ~14.5 ms at 512^2 on v5e and
     scales ~1/k^2.
+    lpips_gt_feats: precomputed engine-matched gt stage features
+    (train/lpips.lpips_features, built by the trainer's gt-feature cache);
+    when given, the gt forward is skipped — EXACT, not an approximation
+    (the gt branch never carried gradient). Must match the resolved engine
+    and the lpips_downsample setting.
     """
     losses = {}
     for name in loss_names:
@@ -152,8 +158,9 @@ def compute_losses(
                 losses[name] = jnp.asarray(0.0, pred_image.dtype)
             else:
                 from manus_tpu.train.lpips import (
-                    infer_arch, lpips_distance, lpips_distance_pallas,
-                    lpips_distance_xla_dx,
+                    lpips_distance, lpips_distance_cached,
+                    lpips_distance_pallas, lpips_distance_xla_dx, pool_avg,
+                    resolve_lpips_engine,
                 )
 
                 # Conv engine for the VGG sweep (all engines share the
@@ -165,14 +172,7 @@ def compute_losses(
                 #   "pallas"      implicit-GEMM layout kernels
                 #                 (ops/conv_pallas.py)
                 # "auto" = xla_dx_bf16 on TPU for VGG params, else xla.
-                engine = lpips_conv
-                if engine == "auto":
-                    engine = (
-                        "xla_dx_bf16"
-                        if jax.default_backend() == "tpu"
-                        and infer_arch(lpips_params) == "vgg"
-                        else "xla"
-                    )
+                engine = resolve_lpips_engine(lpips_conv, lpips_params)
                 if engine == "pallas":
                     dist = lpips_distance_pallas
                 elif engine == "xla_dx":
@@ -183,20 +183,15 @@ def compute_losses(
                 else:
                     dist = lpips_distance
 
-                def _pool(img, k):
-                    h, w = img.shape[0] // k * k, img.shape[1] // k * k
-                    return img[:h, :w].reshape(
-                        h // k, k, w // k, k, img.shape[2]
-                    ).mean(axis=(1, 3))
-
                 def _lpips(_):
-                    if lpips_downsample > 1:
-                        return dist(
-                            lpips_params,
-                            _pool(pred_image, lpips_downsample),
-                            _pool(gt_image, lpips_downsample),
+                    p = pool_avg(pred_image, lpips_downsample)
+                    if lpips_gt_feats is not None:
+                        return lpips_distance_cached(
+                            lpips_params, p, list(lpips_gt_feats), engine
                         )
-                    return dist(lpips_params, pred_image, gt_image)
+                    return dist(
+                        lpips_params, p, pool_avg(gt_image, lpips_downsample)
+                    )
 
                 if lpips_enabled is None:
                     losses[name] = _lpips(None)

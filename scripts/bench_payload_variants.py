@@ -124,20 +124,26 @@ def bwd_fieldmajor(tg_max, n, src, d_payload):
 
 
 def chain_time(name, fn, *args):
-    @jax.jit
-    def chain(k, *a):
-        def body(_, carry):
-            return carry + 1e-12 * fn(*a)
+    """fn(*args) must return a tuple with the SAME structure as args: the
+    loop feeds outputs back as inputs, so no iteration is loop-invariant.
+    (The earlier carry + 1e-12*fn(*a) form was hoistable — XLA's LICM can
+    compute fn once outside the fori_loop and the probe times nothing;
+    several micro probes measured ~0/negative exactly because of this.)"""
 
-        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0))
+    @jax.jit
+    def chain(k, a):
+        def body(_, carry):
+            return tuple(fn(*carry))
+
+        return jax.lax.fori_loop(0, k, body, tuple(a))
 
     t0 = time.time()
-    np.asarray(chain(jnp.asarray(2), *args))
+    np.asarray(jax.tree_util.tree_leaves(chain(jnp.asarray(2), args))[0])
     tc = time.time() - t0
 
     def timed(k):
         t = time.time()
-        np.asarray(chain(jnp.asarray(k), *args))
+        np.asarray(jax.tree_util.tree_leaves(chain(jnp.asarray(k), args))[0])
         return time.time() - t
 
     t2 = min(timed(2) for _ in range(2))
@@ -172,7 +178,9 @@ def main():
             v, g = jax.value_and_grad(
                 lambda *a: jnp.sum(_g(*a) * 1e-6), argnums=(0, 1, 2, 3)
             )(m2d, con, col, op)
-            return v + sum(jnp.sum(x) * 1e-9 for x in g)
+            # feed the grads back into the inputs (chain dependency)
+            return (m2d + 1e-9 * g[0], con + 1e-9 * g[1],
+                    col + 1e-9 * g[2], op + 1e-9 * g[3] + 1e-12 * v)
 
         results[name] = chain_time(
             f"payload f+b [{name}]", fb, proj.means2d, proj.conic,
@@ -187,14 +195,14 @@ def main():
     mat = jnp.asarray(rng.rand(total, NUM_FIELDS), jnp.float32)
     idx = jnp.asarray(rng.permutation(total), jnp.int32)
 
-    chain_time("sort 2-op", lambda k, i: jax.lax.sort((k, i), num_keys=1)[1]
-               .astype(jnp.float32).sum() * 1e-9, keys,
-               jnp.arange(total, dtype=jnp.int32))
+    chain_time("sort 2-op",
+               lambda k, i: jax.lax.sort((k, i), num_keys=1),
+               keys, jnp.arange(total, dtype=jnp.int32))
     chain_time("sort 10-op",
-               lambda k, *v: sum(jnp.sum(x) for x in jax.lax.sort(
-                   (k, *v), num_keys=1)[1:]) * 1e-9, keys, *vals)
+               lambda k, *v: jax.lax.sort((k, *v), num_keys=1),
+               keys, *vals)
     chain_time("row gather [T,16]",
-               lambda m, i: jnp.sum(jnp.take(m, i, axis=0)) * 1e-9, mat, idx)
+               lambda m, i: (jnp.take(m, i, axis=0), i), mat, idx)
 
     def doubling_pm(m, k):
         s = m
@@ -205,10 +213,10 @@ def main():
             shifted = jnp.concatenate(
                 [s[sh:], jnp.zeros((sh, NUM_FIELDS), s.dtype)], axis=0)
             s = s + jnp.where(same[:, None], shifted, 0.0)
-        return jnp.sum(s) * 1e-9
+        return s * 0.005, k  # rescale so the fed-back values stay bounded
 
-    def doubling_fm(m, k):
-        s = m.T
+    def doubling_fm(mT, k):
+        s = mT
         for j in range(7):
             sh = 1 << j
             same = jnp.concatenate([k[sh:] == k[:-sh],
@@ -216,10 +224,10 @@ def main():
             shifted = jnp.concatenate(
                 [s[:, sh:], jnp.zeros((NUM_FIELDS, sh), s.dtype)], axis=1)
             s = s + jnp.where(same[None, :], shifted, 0.0)
-        return jnp.sum(s) * 1e-9
+        return s * 0.005, k
 
     chain_time("doubling x7 [T,16]", doubling_pm, mat, keys)
-    chain_time("doubling x7 [16,T] (+T)", doubling_fm, mat, keys)
+    chain_time("doubling x7 [16,T]", doubling_fm, mat.T, keys)
 
     print(f"\nsummary: pairmajor {results['pairmajor']:.3f} ms, "
           f"fieldmajor {results['fieldmajor']:.3f} ms", flush=True)

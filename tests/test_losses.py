@@ -123,3 +123,65 @@ def test_lpips_downsample_knob():
         vals[k] = float(parts["lpips_loss"])
     assert vals[1] > 0 and vals[2] > 0
     assert abs(vals[1] - vals[2]) < 0.5 * vals[1]
+
+
+def test_lpips_gt_feature_cache_parity():
+    """compute_losses with precomputed gt features (the trainer's
+    gt-feature cache) matches the recomputed-gt path for every engine —
+    the cache is exact, not an approximation."""
+    from manus_tpu.train.lpips import lpips_features, resolve_lpips_params
+
+    params = resolve_lpips_params("", allow_fallback=True,
+                                  log=lambda *a: None)
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    sc = jnp.asarray(rng.rand(10, 3), jnp.float32)
+    ac = jnp.ones(10, bool)
+
+    for engine, tol in (("xla", 1e-6), ("xla_dx", 1e-6),
+                        ("xla_dx_bf16", 1e-6), ("pallas", 1e-6)):
+        feats = jax.jit(
+            lambda p, g: lpips_features(p, g, engine)
+        )(params, gt)
+
+        def run(gt_feats):
+            _, parts = L.compute_losses(
+                pred, gt, sc, ac, ("rgb_loss", "lpips_loss"), (0.8, 0.1),
+                lpips_params=params, lpips_enabled=jnp.asarray(True),
+                lpips_conv=engine, lpips_gt_feats=gt_feats,
+            )
+            return float(parts["lpips_loss"])
+
+        base = run(None)
+        cached = run(list(feats))
+        assert base > 0
+        assert abs(cached - base) < tol + 1e-4 * base, (
+            f"{engine}: cached {cached} vs recomputed {base}")
+
+
+def test_lpips_gt_feature_cache_gradient():
+    """The pred gradient through the cached-gt path matches the
+    recomputed-gt path (gt never carried gradient)."""
+    from manus_tpu.train.lpips import lpips_features, resolve_lpips_params
+
+    params = resolve_lpips_params("", allow_fallback=True,
+                                  log=lambda *a: None)
+    rng = np.random.RandomState(4)
+    pred = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+    sc = jnp.asarray(rng.rand(10, 3), jnp.float32)
+    ac = jnp.ones(10, bool)
+    feats = lpips_features(params, gt, "xla_dx")
+
+    def loss(p, gt_feats):
+        total, _ = L.compute_losses(
+            p, gt, sc, ac, ("rgb_loss", "lpips_loss"), (0.8, 0.1),
+            lpips_params=params, lpips_enabled=jnp.asarray(True),
+            lpips_conv="xla_dx", lpips_gt_feats=gt_feats,
+        )
+        return total
+
+    g0 = np.asarray(jax.grad(loss)(pred, None)).ravel()
+    g1 = np.asarray(jax.grad(loss)(pred, list(feats))).ravel()
+    np.testing.assert_allclose(g1, g0, atol=1e-6, rtol=1e-4)
