@@ -245,6 +245,20 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
         "bone_tf": bone_tf,
         "keypoints": jnp.asarray(kp, jnp.float32),
     }
+    if lpips_params is not None:
+        # production trainers cache the gt LPIPS features (exact; see
+        # trainer._build_lpips_feat_cache) — the bench measures the same
+        from manus_tpu.train.lpips import (
+            lpips_features, resolve_lpips_engine,
+        )
+
+        eng = resolve_lpips_engine(cfg.loss.lpips_conv, lpips_params)
+        feat_fn = jax.jit(lambda p, im: lpips_features(p, im, eng))
+        per_view = [feat_fn(lpips_params, gt[i]) for i in range(views)]
+        batch["lpips_gt_feats"] = tuple(
+            jnp.stack([per_view[i][s] for i in range(views)])
+            for s in range(len(per_view[0]))
+        )
     if return_parts:
         parts = dict(cfg=cfg, voxel_grid=voxel_grid, model=model,
                      cameras=cameras, bone_tf=bone_tf, extent=1.0)

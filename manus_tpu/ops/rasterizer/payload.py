@@ -32,11 +32,11 @@ reintroduce exactly the scatter-add this design exists to avoid.
 
 A field-major backward rewrite (the 9 cotangent field rows riding both
 sorts as extra [total] operands, doubling on a [9, total] stack) was
-measured SLOWER like-for-like (2.89 vs 2.31 ms f+b at bench scale,
-scripts/bench_payload_variants.py): component probes put the 10-operand
-sort at ~0.15 ms and both doubling forms near the noise floor, i.e. the
-hypothesized 16->128 minor-dim padding tax never bound — XLA fuses the
-[T, 16] passes well — so the pair-major form below stands.
+measured SLOWER like-for-like in two independent sessions (2.89 vs 2.31
+ms, then 3.81 vs 2.07 ms with loop-carried chaining;
+scripts/bench_payload_variants.py): the hypothesized 16->128 minor-dim
+padding tax never binds — XLA fuses the [T, 16] passes well — so the
+pair-major form below stands.
 """
 from __future__ import annotations
 

@@ -135,7 +135,11 @@ def chain_time(name, fn, x0, *consts, flop=None):
         def body(_, carry):
             return fn(carry, *cs)
 
-        return jax.lax.fori_loop(0, k, body, x)
+        out = jax.lax.fori_loop(0, k, body, x)
+        # reduce ON DEVICE: reading the full array back through the tunnel
+        # costs hundreds of ms with huge variance (17 MB at bf16 here) and
+        # buries the signal
+        return jnp.sum(out.astype(jnp.float32))
 
     t0 = time.time()
     np.asarray(chain(jnp.asarray(2), x0, *consts))
@@ -146,9 +150,12 @@ def chain_time(name, fn, x0, *consts, flop=None):
         np.asarray(chain(jnp.asarray(k), x0, *consts))
         return time.time() - t
 
-    t2 = min(timed(2) for _ in range(2))
-    t42 = min(timed(42) for _ in range(2))
-    per = (t42 - t2) / 40
+    # sub-ms per-iter costs need a LONG chain: the tunnel's per-call
+    # readback noise is ~40-80 ms, so 300 iters puts the signal well above
+    # it (40 iters measured NEGATIVE per-iter costs here)
+    t2 = min(timed(2) for _ in range(3))
+    t302 = min(timed(302) for _ in range(3))
+    per = (t302 - t2) / 300
     tfs = (flop / per / 1e12) if flop and per > 0 else 0.0
     print(f"{name:16s} {per * 1e3:7.3f} ms/iter  {tfs:6.1f} TF/s "
           f"(compile {tc:.0f}s)", flush=True)

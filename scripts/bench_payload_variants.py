@@ -135,20 +135,28 @@ def chain_time(name, fn, *args):
         def body(_, carry):
             return tuple(fn(*carry))
 
-        return jax.lax.fori_loop(0, k, body, tuple(a))
+        out = jax.lax.fori_loop(0, k, body, tuple(a))
+        # reduce ON DEVICE: large-array readbacks through the tunnel cost
+        # hundreds of ms with huge variance and bury the signal
+        return sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(out)
+        )
 
     t0 = time.time()
-    np.asarray(jax.tree_util.tree_leaves(chain(jnp.asarray(2), args))[0])
+    np.asarray(chain(jnp.asarray(2), args))
     tc = time.time() - t0
 
     def timed(k):
         t = time.time()
-        np.asarray(jax.tree_util.tree_leaves(chain(jnp.asarray(k), args))[0])
+        np.asarray(chain(jnp.asarray(k), args))
         return time.time() - t
 
-    t2 = min(timed(2) for _ in range(2))
-    t22 = min(timed(22) for _ in range(2))
-    per = (t22 - t2) / 20 * 1e3
+    # 60+ iters: sub-ms per-iter signals drown in the ~40-80 ms per-call
+    # tunnel readback noise at 20 iters
+    t2 = min(timed(2) for _ in range(3))
+    t62 = min(timed(62) for _ in range(3))
+    per = (t62 - t2) / 60 * 1e3
     print(f"{name:28s} {per:7.3f} ms/iter (compile {tc:.0f}s)", flush=True)
     return per
 
