@@ -322,7 +322,7 @@ def unlayout(xl: jax.Array, L: StageLayout) -> jax.Array:
     return x.reshape(h_pad, L.w + 2, x.shape[-1])[: L.h, : L.w]
 
 
-def _conv_layout_kernel(x_hbm, w_ref, b_ref, y_ref, xs, sem, acc,
+def _conv_layout_kernel(x_hbm, w_ref, b_ref, y_ref, xs, sem,
                         *, L: StageLayout, taps, relu, n_valid_rows):
     i = pl.program_id(0)
     nb = L.n_blocks
@@ -354,18 +354,17 @@ def _conv_layout_kernel(x_hbm, w_ref, b_ref, y_ref, xs, sem, acc,
         c = i - 1
         dma(c % 2, c).wait()
         xb = xs[c % 2]
+        # pure-value accumulation: measured marginally faster than the
+        # VMEM-scratch RMW form (0.128 vs 0.132 ms at 256^2x128->128,
+        # scripts/bench_conv_kernel_variants.py) and frees the scratch
+        out = b_ref[:]
         for k, off in enumerate(taps):
-            part = jax.lax.dot_general(
+            out = out + jax.lax.dot_general(
                 xb[off : off + L.m_blk],
                 w_ref[k],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if k == 0:
-                acc[:] = part
-            else:
-                acc[:] = acc[:] + part
-        out = acc[:] + b_ref[:]
         if relu:
             out = jnp.maximum(out, 0.0)
         # zero the junk columns (x >= W: they land on the next layer's
@@ -412,13 +411,111 @@ def conv3x3_layout_raw(xl: jax.Array, w: jax.Array, b: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, L.m_halo, ci), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((L.m_blk, co_out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(xl, wf, bf)
+
+
+def _conv_dx_layout_kernel(g_hbm, y_hbm, w_ref, o_ref, gs, ys, sem,
+                           *, L: StageLayout, taps, n_valid_rows):
+    """dx conv with the ReLU mask fused into the DMA stream: gm =
+    where(y > 0, g, 0) is computed on the halo buffer in VMEM, so the
+    mask never costs an XLA HBM round trip per layer (measured ~1.8 ms
+    across the 13-layer backward before fusion)."""
+    i = pl.program_id(0)
+    nb = L.n_blocks
+
+    def dma(ref, buf, stream, slot, c):
+        start = L.lead - L.shift + c * L.m_blk
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(pl.multiple_of(start, 16), L.m_halo)],
+            buf.at[slot],
+            sem.at[stream, slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(g_hbm, gs, 0, 0, 0).start()
+        dma(y_hbm, ys, 1, 0, 0).start()
+
+    @pl.when((i >= 1) & (i < nb))
+    def _():
+        dma(g_hbm, gs, 0, i % 2, i).start()
+        dma(y_hbm, ys, 1, i % 2, i).start()
+
+    is_border = (i == 0) | (i == nb + 1)
+
+    @pl.when(is_border)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(~is_border)
+    def _():
+        c = i - 1
+        dma(g_hbm, gs, 0, c % 2, c).wait()
+        dma(y_hbm, ys, 1, c % 2, c).wait()
+        # f32 compare: Mosaic cannot cmpf packed bf16 vectors
+        mask = ys[c % 2].astype(jnp.float32) > 0
+        gm = jnp.where(mask, gs[c % 2], jnp.zeros((), gs.dtype))
+        out = jnp.zeros((), jnp.float32)
+        for k, off in enumerate(taps):
+            out = out + jax.lax.dot_general(
+                gm[off : off + L.m_blk],
+                w_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        q = jax.lax.broadcasted_iota(jnp.int32, (L.m_blk, 1), 0)
+        valid = (q % (L.w + 2) < L.w) & (q < n_valid_rows - c * L.m_blk)
+        o_ref[:] = jnp.where(valid, out, 0.0).astype(o_ref.dtype)
+
+
+def conv3x3_layout_dx_raw(gl: jax.Array, yl: jax.Array, w_t: jax.Array,
+                          L: StageLayout,
+                          interpret: Optional[bool] = None) -> jax.Array:
+    """Fused dx of a relu'd layout conv: ReLU-mask gl by yl (the saved
+    layer output) and convolve with the already-flipped/transposed
+    weights w_t [3, 3, Co, Ci]. gl/yl: [L.rows, co_lanes]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ci = gl.shape[-1]  # = fwd co lanes
+    assert ci >= 128 and yl.shape == gl.shape
+    assert w_t.shape[2] <= ci
+    co = w_t.shape[-1]  # = fwd ci
+    co_out = max(co, 128)
+    wf = jnp.pad(
+        w_t.astype(jnp.bfloat16).reshape(9, w_t.shape[2], co),
+        ((0, 0), (0, ci - w_t.shape[2]), (0, co_out - co)),
+    )
+    w2 = L.w + 2
+    taps = tuple(L.shift + dy * w2 + dx
+                 for dy in range(3) for dx in range(3))
+    kernel = functools.partial(
+        _conv_dx_layout_kernel, L=L, taps=taps, n_valid_rows=L.h * w2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(L.n_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, ci, co_out), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L.m_blk, co_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((L.rows, co_out), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, L.m_halo, ci), jnp.bfloat16),
+            pltpu.VMEM((2, L.m_halo, ci), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(gl, yl, wf)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -439,12 +536,15 @@ def _conv3x3_layout_fwd(xl, w, b, relu, L, interpret):
 
 def _conv3x3_layout_bwd(relu, L, interpret, res, g):
     y, w, b, x_dt, ci = res
-    if relu:
-        g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
     w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    zeros_co = jnp.zeros((w.shape[2],), jnp.float32)
-    dx = conv3x3_layout_raw(g.astype(jnp.bfloat16), w_t, zeros_co, False, L,
-                            interpret)
+    if relu:
+        # fused kernel: relu mask applied on the DMA'd halo buffer
+        dx = conv3x3_layout_dx_raw(g.astype(jnp.bfloat16), y, w_t, L,
+                                   interpret)
+    else:
+        zeros_co = jnp.zeros((w.shape[2],), jnp.float32)
+        dx = conv3x3_layout_raw(g.astype(jnp.bfloat16), w_t, zeros_co,
+                                False, L, interpret)
     # the layout carries >= max(ci, 128) lanes; dx must match xl's lanes
     dx = dx[:, : ci] if dx.shape[-1] > ci else jnp.pad(
         dx, ((0, 0), (0, ci - dx.shape[-1]))
@@ -453,6 +553,149 @@ def _conv3x3_layout_bwd(relu, L, interpret, res, g):
 
 
 conv3x3_layout.defvjp(_conv3x3_layout_fwd, _conv3x3_layout_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS head stage on layout arrays.
+#
+# The head (channel-unit-normalise both feature maps, squared diff, 1x1
+# nonnegative weights, spatial mean) is elementwise-per-row, so on layout
+# arrays it runs as a row-blocked Pallas pass: ONE read of a+b for the
+# forward and one for the backward, where the XLA lowering (even with the
+# closed-form custom VJP in train/lpips.py) materialises several full
+# fp32 feature-map temporaries per stage. Zero border/junk/padding rows
+# have zero norm and contribute nothing; the caller divides by the true
+# H*W via the lin scaling (the head is linear in lin).
+# ---------------------------------------------------------------------------
+
+_HEAD_EPS = 1e-10
+
+
+def _head_fwd_kernel(a_ref, b_ref, lin_ref, out_ref):
+    a = a_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    ra = jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True))
+    rb = jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True))
+    na = a / (ra + _HEAD_EPS)
+    nb = b / (rb + _HEAD_EPS)
+    d = (na - nb) ** 2 * lin_ref[:]
+    # per-block lane partials in row 0 of an 8-row block (Mosaic cannot
+    # store scalars to VMEM and output sublane blocks must be >= 8):
+    # reduce rows here, lanes + blocks outside
+    part = jnp.sum(d, axis=0, keepdims=True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, d.shape[1]), 0)
+    out_ref[:] = jnp.where(row == 0, part, 0.0)
+
+
+def _head_bwd_kernel(a_ref, b_ref, lin_ref, da_ref, db_ref):
+    a = a_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    ra = jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True))
+    rb = jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True))
+    na = a / (ra + _HEAD_EPS)
+    nb = b / (rb + _HEAD_EPS)
+    g = 2.0 * lin_ref[:] * (na - nb)
+
+    def d_normed(x, r, gg):
+        dot = jnp.sum(x * gg, axis=1, keepdims=True)
+        safe_r = jnp.where(r > 0, r, 1.0)
+        return gg / (r + _HEAD_EPS) - x * (
+            dot / (safe_r * (r + _HEAD_EPS) ** 2)
+        )
+
+    da_ref[:] = d_normed(a, ra, g).astype(da_ref.dtype)
+    db_ref[:] = (-d_normed(b, rb, g)).astype(db_ref.dtype)
+
+
+def _head_block_rows(rows: int, c: int, budget: int = 10 << 20) -> int:
+    """Largest row-block that divides rows, is sublane-aligned (multiple
+    of 8), and keeps ~12 live fp32 block temporaries (the backward's
+    working set) under the 16 MB scoped-VMEM stack limit, with margin.
+    rows is always a multiple of 8 (layout rows are (n_blocks+2) * m_blk
+    with tile_h a multiple of 8), so blk=8 is a valid floor."""
+    best = 8
+    for blk in range(8, min(rows, 8192) + 1, 8):
+        if rows % blk == 0 and blk * c * 4 * 12 <= budget:
+            best = blk
+    return best
+
+
+def _head_fwd_call(a, b, lin_eff, interpret):
+    rows, c = a.shape
+    blk = _head_block_rows(rows, c)
+    out = pl.pallas_call(
+        _head_fwd_kernel,
+        grid=(rows // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows // blk * 8, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a, b, lin_eff)
+    return jnp.sum(out)
+
+
+def _head_bwd_call(a, b, lin_scaled, interpret):
+    rows, c = a.shape
+    blk = _head_block_rows(rows, c)
+    return pl.pallas_call(
+        _head_bwd_kernel,
+        grid=(rows // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+            pl.BlockSpec((blk, c), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, c), a.dtype),
+            jax.ShapeDtypeStruct((rows, c), b.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a, b, lin_scaled)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def head_stage_layout(a: jax.Array, b: jax.Array, lin_eff: jax.Array,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """One LPIPS head stage on [rows, C] layout (or any row-major) feature
+    pairs: sum((unit(a) - unit(b))^2 * lin_eff). The caller folds the
+    spatial 1/(H*W) into lin_eff (the head is linear in lin); lanes beyond
+    the real channels must be zero in a AND b. Differentiable in a and b
+    (closed-form normalize gradient in one fused backward pass); lin_eff
+    gets symbolic-zero (LPIPS heads are frozen)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _head_fwd_call(a, b, lin_eff, interpret)
+
+
+def _head_stage_layout_fwd(a, b, lin_eff, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _head_fwd_call(a, b, lin_eff, interpret), (a, b, lin_eff)
+
+
+def _head_stage_layout_bwd(interpret, res, ct):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    a, b, lin_eff = res
+    da, db = _head_bwd_call(a, b, lin_eff * ct, interpret)
+    return da, db, jnp.zeros_like(lin_eff)
+
+
+head_stage_layout.defvjp(_head_stage_layout_fwd, _head_stage_layout_bwd)
 
 
 def maxpool2x2(x: jax.Array) -> jax.Array:

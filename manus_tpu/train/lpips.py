@@ -322,16 +322,23 @@ def vgg16_features_pallas(params: dict, x: jax.Array,
     return feats
 
 
-def _lpips_head_layout(params: dict, f1: list, f2: list) -> jax.Array:
+def _lpips_head_layout(params: dict, f1: list, f2: list,
+                       interpret=None) -> jax.Array:
     """LPIPS head on layout-form stage features: identical math to
     _lpips_head — border/junk rows and padding lanes are zero in BOTH
     feature sets so they contribute nothing, and the spatial mean divides
-    by the true H*W."""
+    by the true H*W (folded into the lin scaling; the head is linear in
+    lin). Runs as a fused row-blocked Pallas pass per stage
+    (ops/conv_pallas.head_stage_layout): one read of a+b forward, one
+    backward."""
+    from manus_tpu.ops.conv_pallas import head_stage_layout
+
     total = jnp.asarray(0.0)
     for k, ((a, L), (b, _)) in enumerate(zip(f1, f2)):
         lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
         lin = jnp.pad(lin, (0, a.shape[-1] - lin.shape[0]))
-        total = total + _head_stage(a, b, lin, 1.0 / (L.h * L.w))
+        lin_eff = (lin / float(L.h * L.w)).reshape(1, -1)
+        total = total + head_stage_layout(a, b, lin_eff, interpret)
     return total
 
 
@@ -347,7 +354,7 @@ def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
     x2 = img2 * 2.0 - 1.0
     f1 = vgg16_features_pallas(params, x1, interpret)
     f2 = vgg16_features_pallas(params, x2, interpret)
-    return _lpips_head_layout(params, f1, f2)
+    return _lpips_head_layout(params, f1, f2, interpret)
 
 
 # --- cached-gt LPIPS ---------------------------------------------------------
@@ -415,7 +422,7 @@ def lpips_distance_cached(params: dict, img1: jax.Array, gt_feats: list,
         f1 = vgg16_features_pallas(params, x1, interpret)
         layouts = [L for _, L in f1]
         return _lpips_head_layout(
-            params, f1, list(zip(gt_feats, layouts))
+            params, f1, list(zip(gt_feats, layouts)), interpret
         )
     if engine in ("xla_dx", "xla_dx_bf16"):
         dt = jnp.bfloat16 if engine == "xla_dx_bf16" else jnp.float32
