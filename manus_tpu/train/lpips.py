@@ -190,7 +190,7 @@ def lpips_distance_xla_dx(params: dict, img1: jax.Array, img2: jax.Array,
     assert infer_arch(params) == "vgg", "xla_dx LPIPS path is VGG-only"
     f1 = vgg16_features_xla_dx(params, img1 * 2.0 - 1.0, dtype)
     f2 = vgg16_features_xla_dx(params, img2 * 2.0 - 1.0, dtype)
-    return _lpips_head(params, f1, f2)
+    return _lpips_head_rows(params, f1, f2)
 
 
 _HEAD_EPS = 1e-10
@@ -260,6 +260,37 @@ def _lpips_head(params: dict, f1: list, f2: list) -> jax.Array:
         lin = params[f"lin{k}_w"]  # [C] nonnegative 1x1 head
         npix = float(np.prod(a.shape[:-1]))
         total = total + _head_stage(a, b, lin, 1.0 / npix)
+    return total
+
+
+def _head_stage_rows(a, b, lin, inv_npix, interpret=None):
+    """_head_stage through the fused Pallas row kernel
+    (ops/conv_pallas.head_stage_layout): [..., C] features flatten to
+    rows, padded to a multiple of 8 with zero rows (zero norm, zero
+    contribution; their cotangents are sliced off by the surrounding
+    pad's autodiff). One read of a+b forward, one fused backward —
+    the XLA head costs several fp32 feature-map passes per stage."""
+    from manus_tpu.ops.conv_pallas import head_stage_layout
+
+    c = a.shape[-1]
+    ar = a.reshape(-1, c)
+    br = b.reshape(-1, c)
+    pad = (-ar.shape[0]) % 8
+    if pad:
+        ar = jnp.pad(ar, ((0, pad), (0, 0)))
+        br = jnp.pad(br, ((0, pad), (0, 0)))
+    lin_eff = (lin.astype(jnp.float32) * inv_npix).reshape(1, -1)
+    return head_stage_layout(ar, br, lin_eff, interpret)
+
+
+def _lpips_head_rows(params: dict, f1: list, f2: list,
+                     interpret=None) -> jax.Array:
+    """_lpips_head on the fused Pallas row kernel (same math)."""
+    total = jnp.asarray(0.0)
+    for k, (a, b) in enumerate(zip(f1, f2)):
+        lin = params[f"lin{k}_w"]
+        npix = float(np.prod(a.shape[:-1]))
+        total = total + _head_stage_rows(a, b, lin, 1.0 / npix, interpret)
     return total
 
 
@@ -427,10 +458,10 @@ def lpips_distance_cached(params: dict, img1: jax.Array, gt_feats: list,
     if engine in ("xla_dx", "xla_dx_bf16"):
         dt = jnp.bfloat16 if engine == "xla_dx_bf16" else jnp.float32
         f1 = [f[0] for f in vgg16_features_xla_dx(params, x1, dt)]
-    else:
-        f1 = [f[0] for f in backbone_features(
-            params, x1[None].astype(jnp.float32), infer_arch(params)
-        )]
+        return _lpips_head_rows(params, f1, gt_feats, interpret)
+    f1 = [f[0] for f in backbone_features(
+        params, x1[None].astype(jnp.float32), infer_arch(params)
+    )]
     return _lpips_head(params, f1, gt_feats)
 
 

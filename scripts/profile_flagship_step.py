@@ -41,10 +41,20 @@ VOX = 96
 
 
 def chain_time(name, fn, *args):
+    """Loop-carried chain: the scalar carry perturbs the float leaves of
+    the FIRST argument each iteration (x + carry*1e-30), so no iteration
+    is loop-invariant — XLA LICM hoists `carry + eps*fn(const_args)`
+    chains entirely out of the loop and times nothing (CLAUDE.md)."""
+
     @jax.jit
     def chain(k, *a):
         def body(_, carry):
-            return carry + 1e-12 * fn(*a)
+            a0 = jax.tree.map(
+                lambda x: x + (carry * 1e-30).astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                a[0],
+            )
+            return carry + fn(a0, *a[1:]) * 1e-12
 
         return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0))
 
@@ -58,8 +68,8 @@ def chain_time(name, fn, *args):
         return time.time() - t
 
     t2 = min(timed(2) for _ in range(2))
-    t22 = min(timed(22) for _ in range(2))
-    per = (t22 - t2) / 20 * 1e3
+    t102 = min(timed(102) for _ in range(2))
+    per = (t102 - t2) / 100 * 1e3
     print(f"{name:26s} {per:7.3f} ms/iter (compile {tc:.0f}s)", flush=True)
     return per
 
@@ -98,25 +108,29 @@ def main():
     except Exception as e:
         print(f"full step failed: {type(e).__name__}: {e}", flush=True)
 
-    # 1. voxel resample (fwd only; it re-runs inside LBS f+b below)
-    def resample(xyz):
+    # 1. voxel resample (fwd only; it re-runs inside LBS f+b below).
+    # The grid arrays travel as TRACED ARGS: the brick table is ~0.6 GB
+    # and a closure capture lands in the tunnel compile request (413).
+    def resample(xyz, c, s, w, bk):
         return jnp.sum(skinning_weights_from_voxel_grid(
-            xyz, vg.center, vg.scale, vg.weights, brick=vg.brick
+            xyz, c, s, w, brick=bk
         )) * 1e-9
 
-    chain_time("voxel resample fwd", resample, params.xyz)
+    chain_time("voxel resample fwd", resample, params.xyz,
+               vg.center, vg.scale, vg.weights, vg.brick)
 
-    def resample_fb(xyz):
-        v, g = jax.value_and_grad(resample)(xyz)
+    def resample_fb(xyz, c, s, w, bk):
+        v, g = jax.value_and_grad(resample)(xyz, c, s, w, bk)
         return v + jnp.sum(g) * 1e-9
 
-    chain_time("voxel resample f+b", resample_fb, params.xyz)
+    chain_time("voxel resample f+b", resample_fb, params.xyz,
+               vg.center, vg.scale, vg.weights, vg.brick)
 
     # precompute skin weights (the step computes them OUTSIDE the grad,
     # matching the reference's zero-xyz-lr quirk)
-    sw = jax.jit(lambda x: skinning_weights_from_voxel_grid(
-        x, vg.center, vg.scale, vg.weights, brick=vg.brick
-    ))(params.xyz)
+    sw = jax.jit(skinning_weights_from_voxel_grid, static_argnames=())(
+        params.xyz, vg.center, vg.scale, vg.weights, brick=vg.brick
+    )
 
     # 2. LBS (skinning + covariance) f+b wrt params, sw constant
     def lbs(p, s):
