@@ -48,7 +48,7 @@ def build_object_workload(backend: str, capacity: int, width: int,
     cfg.model = dataclasses.replace(cfg.model, remove_seg_end=0)
     cfg.raster = dataclasses.replace(
         cfg.raster, backend=backend, tg_max=64, max_pairs_per_tile=4096,
-        chunk=64, pallas_chunk=128, pair_budget_factor=4, multi_frac=0.25,
+        chunk=64, pallas_chunk=128, pair_budget_factor=2, multi_frac=0.25,
     )
     model = init_gaussian_model(pts, cols, capacity)
     cams = stack_cameras(
@@ -192,7 +192,7 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     )
     cfg.raster = dataclasses.replace(
         cfg.raster, backend=backend, tg_max=64, max_pairs_per_tile=4096,
-        chunk=64, pallas_chunk=128, pair_budget_factor=4, multi_frac=0.25,
+        chunk=64, pallas_chunk=128, pair_budget_factor=2, multi_frac=0.25,
     )
 
     voxel_grid = None
@@ -295,7 +295,10 @@ def main():
     # always runs; each optional section is skipped when the remaining
     # budget can no longer plausibly cover its compiles, so the JSON
     # line is printed no matter how slow compilation is today.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "500"))
+    # 900s default: a slow-compile session (~100s/program) still fits the
+    # primary + 720p + flagship(+lpips) sections the driver artifact
+    # tracks; BENCH_r02 lost the 720p number to a 500s budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
 
     def remaining():
@@ -314,10 +317,28 @@ def main():
         warmup, iters = 1, 3
 
     backend = "pallas" if on_tpu else "xla"
-    step_p, state_p, batch_p = build_workload(
-        backend, capacity, width, height, views
-    )
-    pallas_ips = time_iters(step_p, state_p, batch_p, warmup, iters)
+
+    def _retry(fn, attempts=3, wait=60):
+        """The tunneled platform throws transient infrastructure errors
+        (dropped compile responses, a wedged chip after a killed process);
+        the PRIMARY metric must survive them — retry with a settle wait."""
+        for a in range(attempts):
+            try:
+                return fn()
+            except Exception as e:
+                if a == attempts - 1:
+                    raise
+                note(f"transient failure ({type(e).__name__}); "
+                     f"retrying in {wait}s")
+                time.sleep(wait)
+
+    def _primary():
+        step_p, state_p, batch_p = build_workload(
+            backend, capacity, width, height, views
+        )
+        return time_iters(step_p, state_p, batch_p, warmup, iters)
+
+    pallas_ips = _retry(_primary)
     note(f"hand pallas: {pallas_ips:.1f} it/s")
 
     def peak_hbm_mb():

@@ -182,11 +182,16 @@ def object_config() -> ExperimentConfig:
 def _tuned_raster(raster: RasterOptions) -> RasterOptions:
     """Measured production raster settings (v5e, PARITY.md "Perf state"):
     full tg_max=64 rect coverage stays affordable because the two-tier
-    binning only expands multi-tile gaussians (multi_frac capacity), and
-    a 4N pair budget covers measured scenes ~2x over. Overflow stays a
-    per-step diagnostic; raise the knobs for translucent/outlier scenes."""
+    binning only expands multi-tile gaussians (multi_frac capacity).
+
+    pair_budget_factor=2: measured at flagship scale (131k/512^2, round
+    3) the live pair set after the per-tile cap is IDENTICAL at 2N and 4N
+    budgets (213k live, same overflow split), i.e. 2N still covers real
+    scenes with ~20% headroom while the payload/binning passes scale with
+    the PADDED budget — 4N paid ~2x for nothing. Overflow (`ovf=`/`far=`)
+    stays a per-step diagnostic; raise for translucent/outlier scenes."""
     return dataclasses.replace(
-        raster, tg_max=64, pair_budget_factor=4, multi_frac=0.25
+        raster, tg_max=64, pair_budget_factor=2, multi_frac=0.25
     )
 
 

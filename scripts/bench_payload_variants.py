@@ -33,7 +33,7 @@ from utils import make_test_camera, random_scene  # noqa: E402
 from manus_tpu.ops.rasterizer.binning import bin_gaussians  # noqa: E402
 from manus_tpu.ops.rasterizer.projection import TILE, project_gaussians  # noqa: E402
 
-N = 65536
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
 RES = 512
 TG_MAX = 64
 NUM_FIELDS = 16

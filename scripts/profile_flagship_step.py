@@ -183,7 +183,12 @@ def main():
         bins = bin_gaussians(p, nt, nt, rc.tg_max, 128,
                              rc.pair_budget_factor, rc.max_pairs_per_tile,
                              rc.multi_frac)
-        return jnp.sum(bins.tile_counts).astype(jnp.float32) * 1e-9
+        # consume EVERY output: summing only tile_counts lets XLA DCE the
+        # expensive pair_src sort and the probe under-measures
+        return sum(
+            jnp.sum(x).astype(jnp.float32) * 1e-9
+            for x in jax.tree.leaves(bins)
+        )
 
     chain_time("binning fwd", binning, proj)
 
