@@ -16,7 +16,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from manus_tpu.ops.knn import knn_self_distances
+from manus_tpu.ops.knn import knn_self_distances, knn_self_distances_host
 from manus_tpu.utils import sh as sh_mod
 from manus_tpu.utils.transforms import covariance_from_scaling_rotation
 
@@ -143,7 +143,16 @@ def init_gaussian_model(
     k = (opts.sh_degree + 1) ** 2
     s_dim = 1 if opts.isotropic_scaling else 3
 
-    dist2 = jnp.maximum(knn_self_distances(points, k=3), 1e-7)
+    # Scale init runs on the HOST: it is init-time-only (SURVEY.md 2.9)
+    # and was the most fragile device-facing op of every cold start on the
+    # tunneled platform (VERDICT r3 weak 8). Tracers (init under jit) keep
+    # the device path.
+    if isinstance(points, jax.core.Tracer):
+        dist2 = jnp.maximum(knn_self_distances(points, k=3), 1e-7)
+    else:
+        dist2 = jnp.maximum(
+            jnp.asarray(knn_self_distances_host(points, k=3)), 1e-7
+        )
     log_scale = jnp.log(jnp.sqrt(dist2))[:, None]
     scales = jnp.broadcast_to(log_scale, (n0, s_dim))
 

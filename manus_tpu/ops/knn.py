@@ -29,6 +29,35 @@ def _pad_rows(x: jax.Array, block: int, fill: float):
     return x, n
 
 
+def knn_self_distances_host(points, k: int = 3, block: int = 4096):
+    """Host-side (numpy) knn_self_distances for init-time use.
+
+    Scale init (reference gaussian.py:110 distCUDA2) is the FIRST device
+    op of every cold start, and the tunneled TPU platform is at its most
+    fragile right after process start — BENCH_r03 died three times inside
+    the device version of this op. The workload is init-time-only and
+    tiny (SURVEY.md 2.9), so it runs on the host: blockwise
+    |x|^2+|y|^2-2xy^T with np.partition top-k, ~1s at 131k points.
+
+    points: [N, 3] array-like. Returns np.ndarray [N] float32.
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = pts.shape[0]
+    sq = np.sum(pts * pts, axis=-1)
+    out = np.empty(n, np.float32)
+    for i in range(0, n, block):
+        rows = pts[i:i + block]
+        d2 = sq[i:i + block, None] + sq[None, :] - 2.0 * (rows @ pts.T)
+        ids = np.arange(i, i + rows.shape[0])
+        d2[np.arange(rows.shape[0]), ids] = np.inf  # mask self
+        kk = min(k, n - 1)
+        top = np.partition(d2, kk - 1, axis=-1)[:, :kk]
+        out[i:i + block] = np.maximum(top, 0.0).mean(axis=-1)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def knn_self_distances(points: jax.Array, k: int = 3, block: int = 1024):
     """Mean squared distance from each point to its k nearest neighbors

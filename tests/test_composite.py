@@ -10,7 +10,11 @@ from manus_tpu.data.synthetic import build_synthetic_dynamic, gt_object_gaussian
 from manus_tpu.data.voxel import build_voxel_grid, visualize_skin_weights
 from manus_tpu.models.gaussians import GaussianOpts, init_gaussian_model
 from manus_tpu.ops import contacts as contacts_mod
-from manus_tpu.ops.knn import knn_self_distances, nearest_neighbor
+from manus_tpu.ops.knn import (
+    knn_self_distances,
+    knn_self_distances_host,
+    nearest_neighbor,
+)
 from manus_tpu.ops.rasterizer.api import RasterConfig
 from manus_tpu.ops.skinning import bone_deformation_transforms
 from manus_tpu.train.composite import CompositeModels, make_composite_render
@@ -31,6 +35,13 @@ def test_knn_matches_bruteforce():
     np.fill_diagonal(d2s, np.inf)
     expect = np.sort(d2s, axis=1)[:, :3].mean(1)
     np.testing.assert_allclose(np.asarray(self_d), expect, rtol=1e-4)
+
+    # the host (init-time) path must agree with the device path
+    host_d = knn_self_distances_host(a, k=3)
+    np.testing.assert_allclose(host_d, expect, rtol=1e-4)
+    # blockwise path: block smaller than N exercises the loop
+    host_b = knn_self_distances_host(a, k=3, block=64)
+    np.testing.assert_allclose(host_b, expect, rtol=1e-4)
 
 
 def test_contact_map_threshold():
