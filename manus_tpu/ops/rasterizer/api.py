@@ -186,35 +186,35 @@ def render_gaussians(
         ntx = (w + TILE - 1) // TILE
         nty = (h + TILE - 1) // TILE
         num_tiles = ntx * nty
-        bins = bin_gaussians(
-            proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
-            pair_budget_factor=config.pair_budget_factor,
-            max_pairs_per_tile=config.max_pairs_per_tile,
-            multi_frac=config.multi_frac,
-        )
-        pay = payload_mod.build_payload(
-            proj, colors, opacity, bins, config.tg_max
-        )
-        # tile-sharded composite: each gauss-axis column rasterises its
-        # contiguous tile block; outputs gathered back below.
+        # Tile-sharded raster mid+back stages: each gauss-axis column
+        # bins, payload-gathers and composites ONLY the tiles it owns
+        # under a static round-robin interleave (tile t -> column
+        # t mod n: occupancy is heavily skewed toward a few adjacent
+        # tiles, so contiguous blocks would put nearly all pairs on one
+        # column — SURVEY §5.7). Outputs are gathered and un-permuted
+        # back to the global tile order below.
         shard_tiles = (
             gauss_axis is not None
             and gauss_axis_size > 1
             and num_tiles % gauss_axis_size == 0
         )
+        bins = bin_gaussians(
+            proj, ntx, nty, config.tg_max, lane_align=config.lane_align,
+            pair_budget_factor=config.pair_budget_factor,
+            max_pairs_per_tile=config.max_pairs_per_tile,
+            multi_frac=config.multi_frac,
+            tile_owner_axis=gauss_axis if shard_tiles else None,
+            num_owners=gauss_axis_size if shard_tiles else 1,
+        )
+        pay = payload_mod.build_payload(
+            proj, colors, opacity, bins, config.tg_max
+        )
+        offs, cnts = bins.tile_offsets, bins.tile_counts
         if shard_tiles:
-            t_local = num_tiles // gauss_axis_size
-            col = jax.lax.axis_index(gauss_axis)
-            t_base = (col * t_local).astype(jnp.int32)
-            offs = jax.lax.dynamic_slice_in_dim(
-                bins.tile_offsets, t_base, t_local
-            )
-            cnts = jax.lax.dynamic_slice_in_dim(
-                bins.tile_counts, t_base, t_local
-            )
+            t_base = jax.lax.axis_index(gauss_axis).astype(jnp.int32)
+            t_stride = gauss_axis_size
         else:
-            t_base = None
-            offs, cnts = bins.tile_offsets, bins.tile_counts
+            t_base, t_stride = None, 1
         if backend == "pallas":
             from manus_tpu.ops.rasterizer import pallas_backend
 
@@ -224,19 +224,28 @@ def render_gaussians(
                 tile_base=(
                     t_base[None] if t_base is not None else None
                 ),
+                tile_stride=t_stride if shard_tiles else None,
             )
         elif backend == "xla":
             rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(
-                pay, bins._replace(tile_offsets=offs, tile_counts=cnts),
-                ntx, nty, TILE, config.max_pairs_per_tile,
+                pay, bins, ntx, nty, TILE, config.max_pairs_per_tile,
                 chunk=config.chunk, tile_base=t_base,
-                num_tiles_local=offs.shape[0] if t_base is not None else None,
+                num_tiles_local=offs.shape[0] if shard_tiles else None,
+                tile_stride=t_stride,
             )
         else:
             raise ValueError(f"unknown backend {backend}")
         if shard_tiles:
             rgb_tiles = jax.lax.all_gather(rgb_tiles, gauss_axis, tiled=True)
             t_tiles = jax.lax.all_gather(t_tiles, gauss_axis, tiled=True)
+            # gathered order is column-major over the interleave: position
+            # c * t_local + i holds global tile c + n * i — permute back
+            # to global order with a static gather
+            t_loc = num_tiles // gauss_axis_size
+            tid = jnp.arange(num_tiles)
+            perm = (tid % gauss_axis_size) * t_loc + tid // gauss_axis_size
+            rgb_tiles = jnp.take(rgb_tiles, perm, axis=0)
+            t_tiles = jnp.take(t_tiles, perm, axis=0)
         img, t_final = tiled_xla.tiles_to_image(
             rgb_tiles, t_tiles, bg, ntx, nty, TILE, w, h
         )

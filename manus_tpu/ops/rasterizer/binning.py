@@ -47,7 +47,7 @@ counted in overflow_count.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,9 +88,28 @@ def bin_gaussians(
     max_pairs_per_tile: int = 0,
     multi_frac: float = 1.0,
     multi_floor: int = 4096,
+    tile_owner_axis: Optional[str] = None,
+    num_owners: int = 1,
 ) -> TileBins:
+    """See module docstring. With (tile_owner_axis, num_owners > 1) —
+    inside shard_map over that mesh axis — each column bins only the
+    tiles it OWNS under a static round-robin interleave (global tile t
+    belongs to column t mod num_owners, chosen over contiguous blocks
+    because occupancy is heavily skewed toward a few adjacent tiles —
+    SURVEY §5.7 names the load balance the hard part). The expansion and
+    the [N]-sorts still run on the full cloud (cheap), but the budgeted
+    pair array, the payload gather built from it, and the backward's
+    segmented sums all shrink to the column's share. tile_offsets/counts
+    come back LOCAL ([T / num_owners], in local slot order: local slot i
+    is global tile owner + num_owners * i) and overflow counts are
+    psum'd so every column reports the same global totals."""
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
+    sharded = num_owners > 1
+    if sharded:
+        assert num_tiles % num_owners == 0, (num_tiles, num_owners)
+        owner = jax.lax.axis_index(tile_owner_axis).astype(jnp.int32)
+    t_local = num_tiles // num_owners
 
     rect = proj.tile_rect  # [N, 4], original (unsorted) order
     visible = proj.visible
@@ -212,7 +231,10 @@ def bin_gaussians(
             mgid[:, None], (cap, hi - 1)).reshape(-1))
 
     kept = rw_f * rh_f
-    overflow = jnp.sum(
+    # tg-truncation / multi-degradation drops: computed from the FULL
+    # rects, so under tile-owner sharding this piece is replicated
+    # identical on every column (added once, no psum)
+    overflow_trunc = jnp.sum(
         jnp.where(visible, n_slots - kept, 0)
     ).astype(jnp.int32)
 
@@ -225,8 +247,19 @@ def bin_gaussians(
     pair_depth = jnp.concatenate(depth_blocks)
     pair_gidx = jnp.concatenate(gidx_blocks)
     n_exp = int(pair_tile.shape[0])
+    if sharded:
+        # keep only pairs of OWNED tiles, re-keyed to local slot order
+        # (global tile t -> local slot t // num_owners on column
+        # t % num_owners); foreign/invalid pairs key to the t_local
+        # sentinel and sort to the tail
+        is_local = (pair_tile < num_tiles) & (
+            pair_tile % num_owners == owner
+        )
+        pair_key = jnp.where(is_local, pair_tile // num_owners, t_local)
+    else:
+        pair_key = pair_tile
     _, _, sorted_gidx = jax.lax.sort(
-        (pair_tile, pair_depth, pair_gidx), num_keys=3
+        (pair_key, pair_depth, pair_gidx), num_keys=3
     )
 
     # -- 3. segment bounds from the rank-1 histogram: counts[ty, tx] =
@@ -247,24 +280,34 @@ def bin_gaussians(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [nty, ntx]
+    flat_counts = counts2d.reshape(-1).astype(jnp.int32)
+    if sharded:
+        flat_counts = jnp.take(
+            flat_counts,
+            owner + num_owners * jnp.arange(t_local, dtype=jnp.int32),
+        )
     bounds = jnp.concatenate(
-        [
-            jnp.zeros((1,), jnp.int32),
-            jnp.cumsum(counts2d.reshape(-1).astype(jnp.int32)),
-        ]
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(flat_counts)]
     )
 
     p_budget = n_exp
     if pair_budget_factor > 0:
         p_budget = min(p_budget, n * pair_budget_factor)
+    if sharded:
+        # each column keeps its share of the global budget (round-robin
+        # spreads dense regions, so shares stay near-uniform); budget
+        # truncation under overflow drops highest LOCAL slots, which can
+        # differ from the unsharded highest-global-tile drops — both are
+        # overflow-counted
+        p_budget = -(-p_budget // num_owners)
     p_budget = ((p_budget + lane_align - 1) // lane_align) * lane_align
 
     starts = jnp.minimum(bounds[:-1], p_budget)
     ends = jnp.minimum(bounds[1:], p_budget)
     counts = ends - starts
-    overflow = overflow + jnp.sum((bounds[1:] - bounds[:-1]) - counts).astype(
-        jnp.int32
-    )
+    overflow_budget = jnp.sum(
+        (bounds[1:] - bounds[:-1]) - counts
+    ).astype(jnp.int32)
     overflow_far = jnp.zeros((), jnp.int32)
     if max_pairs_per_tile > 0:
         # Per-tile cap: truncate back-to-front (segments are depth-ordered,
@@ -274,10 +317,15 @@ def bin_gaussians(
         overflow_far = jnp.sum(
             jnp.maximum(counts - max_pairs_per_tile, 0)
         ).astype(jnp.int32)
-        overflow = overflow + overflow_far
         counts = jnp.minimum(counts, max_pairs_per_tile)
+    if sharded:
+        # budget/cap drops are per-column (each pair is owned by exactly
+        # one column); report global totals on every column
+        overflow_budget = jax.lax.psum(overflow_budget, tile_owner_axis)
+        overflow_far = jax.lax.psum(overflow_far, tile_owner_axis)
+    overflow = overflow_trunc + overflow_budget + overflow_far
 
-    total_valid = jnp.minimum(bounds[num_tiles], p_budget)
+    total_valid = jnp.minimum(bounds[t_local], p_budget)
     take = min(p_budget, n_exp)
     src = sorted_gidx[:take]
     if p_budget > take:  # lane rounding can exceed the raw pair count

@@ -107,7 +107,7 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     depth = PREFETCH_DEPTH
 
     def kernel(
-        tbase_ref,  # scalar prefetch [1]: global id of tile block start
+        tbase_ref,  # scalar prefetch [2]: (global id of local slot 0, stride)
         offs_ref,  # scalar prefetch [T_local]
         cnts_ref,  # scalar prefetch [T_local]
         payload_ref,  # ANY [16, P_budget]
@@ -148,8 +148,9 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
             count = cnts_ref[t]
             first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
             # pixel coords use the GLOBAL tile id (tile-sharded composite:
-            # this program handles global tiles tbase + p*tpp + j)
-            px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
+            # local slot t is global tile tbase + t * stride — stride 1 for
+            # contiguous blocks, the axis size for round-robin interleave)
+            px, py = _pixel_coords(tbase_ref[0] + t * tbase_ref[1], ntx, tile)
 
             def dma_for(k, slot):
                 base = pl.multiple_of((first + k) * chunk, 128)
@@ -259,7 +260,7 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     depth = BWD_DEPTH
 
     def kernel(
-        tbase_ref,  # scalar prefetch [1]: global id of tile block start
+        tbase_ref,  # scalar prefetch [2]: (global id of local slot 0, stride)
         offs_ref,  # scalar prefetch [T_local]
         cnts_ref,  # scalar prefetch [T_local]
         kstop_all_ref,  # scalar prefetch [T_local] int32
@@ -299,7 +300,7 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
             count = cnts_ref[t]
             k_stop = kstop_all_ref[t]
             first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-            px, py = _pixel_coords(tbase_ref[0] + t, ntx, tile)
+            px, py = _pixel_coords(tbase_ref[0] + t * tbase_ref[1], ntx, tile)
 
             d_rgb = d_rgb_ref[j]  # [Px, 3]
             d_tfin = d_tfin_ref[j]  # [Px, 1]
@@ -604,12 +605,15 @@ def composite_tiles_pallas(
     tile: int = 16,
     chunk: int = 128,
     interpret: bool | None = None,
-    tile_base: jax.Array | None = None,  # [1] int32 global block start
+    tile_base: jax.Array | None = None,  # [1] int32 global id of slot 0
+    tile_stride: jax.Array | int | None = None,  # local slot -> global step
 ):
     """Composite tiles on TPU. Returns (rgb [T_local,3,Px], t_final
-    [T_local,Px]). tile_offsets/tile_counts may be a BLOCK of the full
-    tile grid (tile-sharded rendering); tile_base carries the block's
-    global starting tile id for pixel-coordinate generation.
+    [T_local,Px]). tile_offsets/tile_counts may be a SUBSET of the full
+    tile grid (tile-sharded rendering): local slot i composites global
+    tile `tile_base + i * tile_stride` — stride 1 for a contiguous block,
+    the mesh-axis size for the round-robin interleave the gauss-sharded
+    raster uses (both traced scalars; no recompile per column).
 
     `chunk` must be a multiple of the 128-lane alignment on real hardware
     (payload columns are chunk-window DMA'd at aligned offsets).
@@ -626,8 +630,14 @@ def composite_tiles_pallas(
     t_local = int(tile_offsets.shape[0])
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
+    if tile_stride is None:
+        tile_stride = 1
+    tb = jnp.concatenate([
+        jnp.asarray(tile_base, jnp.int32).reshape(1),
+        jnp.asarray(tile_stride, jnp.int32).reshape(1),
+    ])
     fn = _make_composite(
         ntx, nty, tile, chunk, int(payload.shape[1]), bool(interpret),
         t_local,
     )
-    return fn(payload, tile_base, tile_offsets, tile_counts)
+    return fn(payload, tb, tile_offsets, tile_counts)

@@ -230,7 +230,17 @@ def make_train_step(
     # payload, and the brick table alone is ~0.6GB at 96^3 (the tunneled
     # platform rejects such compile requests outright, and baked-in
     # constants bloat the executable everywhere else).
-    donate = (0,) if jax.default_backend() == "tpu" else ()
+    # MANUS_TPU_NO_DONATE=1 disables donation — a diagnostic escape hatch
+    # for platform-side execution failures (donation is the one train-step
+    # feature that changes the runtime buffer protocol, not just the HLO).
+    import os
+
+    donate = (
+        (0,)
+        if jax.default_backend() == "tpu"
+        and not os.environ.get("MANUS_TPU_NO_DONATE")
+        else ()
+    )
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def _train_step(state: TrainState, batch, vg: Optional[VoxelGrid]):

@@ -146,6 +146,12 @@ def test_shard_map_data_x_gauss_matches_plain(hand_setup):
         np.asarray(state1.stats.grad_accum), np.asarray(state42.stats.grad_accum),
         atol=1e-5,
     )
+    # overflow diagnostics are psum'd over the tile-owner columns inside
+    # the sharded binning, so the reported totals must match unsharded
+    assert int(metrics42["pair_overflow"]) == int(metrics1["pair_overflow"])
+    assert int(metrics42["pair_overflow_far"]) == int(
+        metrics1["pair_overflow_far"]
+    )
 
 
 def test_multihost_scaffolding_single_process():
