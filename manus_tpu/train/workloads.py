@@ -108,6 +108,27 @@ def forward_gaussians(
     return sk.posed_xyz, sk.posed_cov, sk.tf
 
 
+def donation_supported() -> bool:
+    """Whether to donate the train state into the jitted step.
+
+    Donation halves steady-state HBM for the optimizer pytree, but on the
+    tunneled 'axon' TPU platform every donated execution dies with a
+    runtime `INVALID_ARGUMENT: TPU backend error` — bisected in round 4
+    (scripts/tpu_step_bisect.py: the identical tiny step passes with
+    donation off and fails with it on; the input-aliasing buffer protocol
+    is evidently not implemented by the tunnel server). So: donate on
+    directly-attached TPU only. MANUS_TPU_NO_DONATE=1 force-disables.
+    """
+    import os
+
+    if os.environ.get("MANUS_TPU_NO_DONATE"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    plats = str(getattr(jax.config, "jax_platforms", "") or "")
+    return "axon" not in plats.lower()
+
+
 def make_raster_config(cfg: ExperimentConfig) -> RasterConfig:
     """Forward every RasterOptions knob (incl. the quality-critical
     pair_budget_factor / lane_align) so CLI overrides actually apply."""
@@ -230,17 +251,7 @@ def make_train_step(
     # payload, and the brick table alone is ~0.6GB at 96^3 (the tunneled
     # platform rejects such compile requests outright, and baked-in
     # constants bloat the executable everywhere else).
-    # MANUS_TPU_NO_DONATE=1 disables donation — a diagnostic escape hatch
-    # for platform-side execution failures (donation is the one train-step
-    # feature that changes the runtime buffer protocol, not just the HLO).
-    import os
-
-    donate = (
-        (0,)
-        if jax.default_backend() == "tpu"
-        and not os.environ.get("MANUS_TPU_NO_DONATE")
-        else ()
-    )
+    donate = (0,) if donation_supported() else ()
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def _train_step(state: TrainState, batch, vg: Optional[VoxelGrid]):
