@@ -188,11 +188,11 @@ def render_gaussians(
         num_tiles = ntx * nty
         # Tile-sharded raster mid+back stages: each gauss-axis column
         # bins, payload-gathers and composites ONLY the tiles it owns
-        # under a static round-robin interleave (tile t -> column
-        # t mod n: occupancy is heavily skewed toward a few adjacent
-        # tiles, so contiguous blocks would put nearly all pairs on one
-        # column — SURVEY §5.7). Outputs are gathered and un-permuted
-        # back to the global tile order below.
+        # under the static dealt-diagonal interleave of
+        # binning.tile_owner_tables (occupancy is heavily skewed toward
+        # a few adjacent tiles, so contiguous blocks — and stripe-prone
+        # flat round-robin — put most pairs on one column; SURVEY §5.7).
+        # Outputs are gathered and un-permuted to global tile order below.
         shard_tiles = (
             gauss_axis is not None
             and gauss_axis_size > 1
@@ -210,40 +210,37 @@ def render_gaussians(
             proj, colors, opacity, bins, config.tg_max
         )
         offs, cnts = bins.tile_offsets, bins.tile_counts
+        tids = None
         if shard_tiles:
-            t_base = jax.lax.axis_index(gauss_axis).astype(jnp.int32)
-            t_stride = gauss_axis_size
-        else:
-            t_base, t_stride = None, 1
+            from manus_tpu.ops.rasterizer.binning import tile_owner_tables
+
+            _, _, owned_np, perm_np = tile_owner_tables(
+                ntx, nty, gauss_axis_size
+            )
+            col = jax.lax.axis_index(gauss_axis)
+            tids = jnp.asarray(owned_np)[col]  # [T_local] global ids
         if backend == "pallas":
             from manus_tpu.ops.rasterizer import pallas_backend
 
             rgb_tiles, t_tiles = pallas_backend.composite_tiles_pallas(
                 pay, offs, cnts, ntx, nty,
-                tile=TILE, chunk=config.pallas_chunk,
-                tile_base=(
-                    t_base[None] if t_base is not None else None
-                ),
-                tile_stride=t_stride if shard_tiles else None,
+                tile=TILE, chunk=config.pallas_chunk, tile_ids=tids,
             )
         elif backend == "xla":
             rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(
                 pay, bins, ntx, nty, TILE, config.max_pairs_per_tile,
-                chunk=config.chunk, tile_base=t_base,
+                chunk=config.chunk,
                 num_tiles_local=offs.shape[0] if shard_tiles else None,
-                tile_stride=t_stride,
+                tile_ids=tids,
             )
         else:
             raise ValueError(f"unknown backend {backend}")
         if shard_tiles:
             rgb_tiles = jax.lax.all_gather(rgb_tiles, gauss_axis, tiled=True)
             t_tiles = jax.lax.all_gather(t_tiles, gauss_axis, tiled=True)
-            # gathered order is column-major over the interleave: position
-            # c * t_local + i holds global tile c + n * i — permute back
-            # to global order with a static gather
-            t_loc = num_tiles // gauss_axis_size
-            tid = jnp.arange(num_tiles)
-            perm = (tid % gauss_axis_size) * t_loc + tid // gauss_axis_size
+            # gathered position of global tile t is perm[t] (owner-major,
+            # rank within owner) — un-permute with the static table
+            perm = jnp.asarray(perm_np)
             rgb_tiles = jnp.take(rgb_tiles, perm, axis=0)
             t_tiles = jnp.take(t_tiles, perm, axis=0)
         img, t_final = tiled_xla.tiles_to_image(

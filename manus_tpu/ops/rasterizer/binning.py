@@ -47,12 +47,47 @@ counted in overflow_count.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from manus_tpu.ops.rasterizer.projection import ProjectedGaussians
+
+
+@functools.lru_cache(maxsize=64)
+def tile_owner_tables(num_tiles_x: int, num_tiles_y: int, num_owners: int):
+    """Static tile->owner assignment for tile-sharded rasterisation.
+
+    A flat round-robin (tile t -> t mod n) degenerates when n divides the
+    grid width: t mod n is then the tile's image COLUMN, so each mesh
+    column owns a vertical stripe and a hand centered in the frame lands
+    almost entirely on one or two columns (observed: 587 dropped pairs at
+    64^2/g=4 where the unsharded run dropped none). Instead tiles are
+    DEALT one-by-one in diagonal scan order ((tx+ty, tx) ascending) —
+    spatial neighbours go to different owners for any n — which also
+    guarantees exactly T/n tiles per owner.
+
+    Returns numpy arrays (owner[T], rank[T] — slot index within the
+    owner's id-ascending list, owned_ids[n, T/n], perm[T] — position of
+    global tile t in the owner-major all_gather output).
+    """
+    t = np.arange(num_tiles_x * num_tiles_y)
+    tx, ty = t % num_tiles_x, t // num_tiles_x
+    deal = np.lexsort((tx, tx + ty))  # diagonal scan order
+    owner = np.empty(t.shape[0], np.int32)
+    owner[deal] = np.arange(t.shape[0], dtype=np.int32) % num_owners
+    t_local = t.shape[0] // num_owners
+    rank = np.zeros_like(owner)
+    owned_ids = np.empty((num_owners, t_local), np.int32)
+    for c in range(num_owners):
+        ids = np.flatnonzero(owner == c)
+        owned_ids[c] = ids
+        rank[ids] = np.arange(ids.shape[0], dtype=np.int32)
+    perm = owner * t_local + rank
+    return owner, rank, owned_ids, perm
 
 
 class TileBins(NamedTuple):
@@ -93,22 +128,25 @@ def bin_gaussians(
 ) -> TileBins:
     """See module docstring. With (tile_owner_axis, num_owners > 1) —
     inside shard_map over that mesh axis — each column bins only the
-    tiles it OWNS under a static round-robin interleave (global tile t
-    belongs to column t mod num_owners, chosen over contiguous blocks
-    because occupancy is heavily skewed toward a few adjacent tiles —
-    SURVEY §5.7 names the load balance the hard part). The expansion and
-    the [N]-sorts still run on the full cloud (cheap), but the budgeted
-    pair array, the payload gather built from it, and the backward's
-    segmented sums all shrink to the column's share. tile_offsets/counts
-    come back LOCAL ([T / num_owners], in local slot order: local slot i
-    is global tile owner + num_owners * i) and overflow counts are
-    psum'd so every column reports the same global totals."""
+    tiles it OWNS under the static dealt-diagonal interleave of
+    `tile_owner_tables` (contiguous blocks lose badly to occupancy skew —
+    SURVEY §5.7 names the load balance the hard part — and a flat t mod n
+    degenerates into vertical stripes when n divides the grid width). The
+    expansion and the [N]-sorts still run on the full cloud (cheap), but
+    the budgeted pair array, the payload gather built from it, and the
+    backward's segmented sums all shrink to the column's share.
+    tile_offsets/counts come back LOCAL ([T / num_owners], local slot i =
+    global tile tile_owner_tables(...)[2][owner, i]) and overflow counts
+    are psum'd so every column reports the same global totals."""
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
     sharded = num_owners > 1
     if sharded:
         assert num_tiles % num_owners == 0, (num_tiles, num_owners)
         owner = jax.lax.axis_index(tile_owner_axis).astype(jnp.int32)
+        owner_np, rank_np, owned_np, _ = tile_owner_tables(
+            num_tiles_x, num_tiles_y, num_owners
+        )
     t_local = num_tiles // num_owners
 
     rect = proj.tile_rect  # [N, 4], original (unsorted) order
@@ -248,14 +286,14 @@ def bin_gaussians(
     pair_gidx = jnp.concatenate(gidx_blocks)
     n_exp = int(pair_tile.shape[0])
     if sharded:
-        # keep only pairs of OWNED tiles, re-keyed to local slot order
-        # (global tile t -> local slot t // num_owners on column
-        # t % num_owners); foreign/invalid pairs key to the t_local
-        # sentinel and sort to the tail
+        # keep only pairs of OWNED tiles, re-keyed to the owner's local
+        # slot order via the static rank table; foreign/invalid pairs
+        # key to the t_local sentinel and sort to the tail
+        safe_t = jnp.minimum(pair_tile, num_tiles - 1)
         is_local = (pair_tile < num_tiles) & (
-            pair_tile % num_owners == owner
+            jnp.asarray(owner_np)[safe_t] == owner
         )
-        pair_key = jnp.where(is_local, pair_tile // num_owners, t_local)
+        pair_key = jnp.where(is_local, jnp.asarray(rank_np)[safe_t], t_local)
     else:
         pair_key = pair_tile
     _, _, sorted_gidx = jax.lax.sort(
@@ -283,8 +321,7 @@ def bin_gaussians(
     flat_counts = counts2d.reshape(-1).astype(jnp.int32)
     if sharded:
         flat_counts = jnp.take(
-            flat_counts,
-            owner + num_owners * jnp.arange(t_local, dtype=jnp.int32),
+            flat_counts, jnp.asarray(owned_np)[owner]
         )
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(flat_counts)]
@@ -294,12 +331,20 @@ def bin_gaussians(
     if pair_budget_factor > 0:
         p_budget = min(p_budget, n * pair_budget_factor)
     if sharded:
-        # each column keeps its share of the global budget (round-robin
-        # spreads dense regions, so shares stay near-uniform); budget
-        # truncation under overflow drops highest LOCAL slots, which can
-        # differ from the unsharded highest-global-tile drops — both are
-        # overflow-counted
-        p_budget = -(-p_budget // num_owners)
+        # Each column keeps 1.5x its even share of the global budget PLUS
+        # an absolute 8-lane floor: the dealt interleave spreads dense
+        # regions at real tile counts, but per-column totals fluctuate —
+        # and on tiny grids (e.g. the 16-tile test scenes) a handful of
+        # occupied tiles cannot be balanced statically at all, so the
+        # relative headroom alone dropped pairs the unsharded run kept
+        # (952-pair column vs a 768 share: a 1.6e-5 loss mismatch at
+        # g=4). The floor makes small scenes pressure-free while large
+        # scenes keep the ~1/g buffer savings; residual drops under
+        # extreme skew are overflow-counted like every other drop path.
+        p_budget = min(
+            p_budget,
+            -(-(p_budget * 3) // (2 * num_owners)) + 8 * lane_align,
+        )
     p_budget = ((p_budget + lane_align - 1) // lane_align) * lane_align
 
     starts = jnp.minimum(bounds[:-1], p_budget)

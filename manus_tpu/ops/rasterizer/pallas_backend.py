@@ -107,7 +107,7 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     depth = PREFETCH_DEPTH
 
     def kernel(
-        tbase_ref,  # scalar prefetch [2]: (global id of local slot 0, stride)
+        tids_ref,  # scalar prefetch [T_local]: global tile id per slot
         offs_ref,  # scalar prefetch [T_local]
         cnts_ref,  # scalar prefetch [T_local]
         payload_ref,  # ANY [16, P_budget]
@@ -147,10 +147,10 @@ def _make_fwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
             start_seg = offs_ref[t]
             count = cnts_ref[t]
             first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-            # pixel coords use the GLOBAL tile id (tile-sharded composite:
-            # local slot t is global tile tbase + t * stride — stride 1 for
-            # contiguous blocks, the axis size for round-robin interleave)
-            px, py = _pixel_coords(tbase_ref[0] + t * tbase_ref[1], ntx, tile)
+            # pixel coords use the GLOBAL tile id from the prefetched slot
+            # map (identity for the full grid; the owner's dealt tile set
+            # under tile-sharded rendering)
+            px, py = _pixel_coords(tids_ref[t], ntx, tile)
 
             def dma_for(k, slot):
                 base = pl.multiple_of((first + k) * chunk, 128)
@@ -260,7 +260,7 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
     depth = BWD_DEPTH
 
     def kernel(
-        tbase_ref,  # scalar prefetch [2]: (global id of local slot 0, stride)
+        tids_ref,  # scalar prefetch [T_local]: global tile id per slot
         offs_ref,  # scalar prefetch [T_local]
         cnts_ref,  # scalar prefetch [T_local]
         kstop_all_ref,  # scalar prefetch [T_local] int32
@@ -300,7 +300,7 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
             count = cnts_ref[t]
             k_stop = kstop_all_ref[t]
             first, n_chunks, end_seg = _seg_geometry(start_seg, count, chunk)
-            px, py = _pixel_coords(tbase_ref[0] + t * tbase_ref[1], ntx, tile)
+            px, py = _pixel_coords(tids_ref[t], ntx, tile)
 
             d_rgb = d_rgb_ref[j]  # [Px, 3]
             d_tfin = d_tfin_ref[j]  # [Px, 1]
@@ -489,8 +489,9 @@ def _make_composite(ntx: int, nty: int, tile: int, chunk: int, p_pad: int,
     """Build the custom-vjp composite fn for one static configuration.
 
     t_local: number of tiles this call composites (= ntx*nty for the full
-    grid; a block of it under tile-sharded multi-chip rendering — the
-    traced tile_base scalar offsets pixel coordinates to the global grid).
+    grid; a subset under tile-sharded multi-chip rendering — the traced
+    tile-id prefetch array maps each local slot to its global tile for
+    pixel-coordinate generation).
     Returns rgb tiles as [T_local, 3, Px] (transposed from the kernel's
     [T_local, Px, 3] in XLA) and t_final as [T_local, Px].
     """
@@ -606,14 +607,14 @@ def composite_tiles_pallas(
     chunk: int = 128,
     interpret: bool | None = None,
     tile_base: jax.Array | None = None,  # [1] int32 global id of slot 0
-    tile_stride: jax.Array | int | None = None,  # local slot -> global step
+    tile_ids: jax.Array | None = None,  # [T_local] int32 global ids
 ):
     """Composite tiles on TPU. Returns (rgb [T_local,3,Px], t_final
     [T_local,Px]). tile_offsets/tile_counts may be a SUBSET of the full
     tile grid (tile-sharded rendering): local slot i composites global
-    tile `tile_base + i * tile_stride` — stride 1 for a contiguous block,
-    the mesh-axis size for the round-robin interleave the gauss-sharded
-    raster uses (both traced scalars; no recompile per column).
+    tile `tile_ids[i]` (traced; no recompile per column) — e.g. the
+    owner's dealt tile set from binning.tile_owner_tables. tile_base is
+    the contiguous-block shorthand: slot i -> tile_base + i.
 
     `chunk` must be a multiple of the 128-lane alignment on real hardware
     (payload columns are chunk-window DMA'd at aligned offsets).
@@ -628,16 +629,15 @@ def composite_tiles_pallas(
             "(payload columns are chunk-window DMA'd; 64 is interpret-only)"
         )
     t_local = int(tile_offsets.shape[0])
-    if tile_base is None:
-        tile_base = jnp.zeros((1,), jnp.int32)
-    if tile_stride is None:
-        tile_stride = 1
-    tb = jnp.concatenate([
-        jnp.asarray(tile_base, jnp.int32).reshape(1),
-        jnp.asarray(tile_stride, jnp.int32).reshape(1),
-    ])
+    if tile_ids is None:
+        base = (
+            jnp.asarray(tile_base, jnp.int32).reshape(1)
+            if tile_base is not None
+            else jnp.zeros((1,), jnp.int32)
+        )
+        tile_ids = base + jnp.arange(t_local, dtype=jnp.int32)
     fn = _make_composite(
         ntx, nty, tile, chunk, int(payload.shape[1]), bool(interpret),
         t_local,
     )
-    return fn(payload, tb, tile_offsets, tile_counts)
+    return fn(payload, tile_ids.astype(jnp.int32), tile_offsets, tile_counts)

@@ -47,29 +47,27 @@ def composite_tiles_xla(
     chunk: int = 64,
     tile_base: jax.Array | None = None,  # [] or [1] int32 global id of slot 0
     num_tiles_local: int | None = None,
-    tile_stride: int = 1,
+    tile_ids: jax.Array | None = None,  # [T_local] int32 global ids
 ):
     """Composite tiles. Returns (rgb [T_local, 3, Px], t_final [T_local, Px]).
 
     max_pairs_per_tile is a static cap: tiles with more pairs are truncated
     back-to-front (farthest dropped first), which is graceful because
-    segments are in depth order. With (tile_base, num_tiles_local) only a
-    SUBSET of the tile grid is composited (tile-sharded rendering): local
-    slot i is global tile `tile_base + i * tile_stride` (stride 1 =
-    contiguous block; stride = mesh-axis size = round-robin interleave);
-    bins.tile_offsets/counts must already be that subset's slices.
+    segments are in depth order. Under tile-sharded rendering only a
+    SUBSET of the tile grid is composited: local slot i is global tile
+    `tile_ids[i]` (traced; e.g. the owner's dealt set from
+    binning.tile_owner_tables), or `tile_base + i` for a contiguous
+    block; bins.tile_offsets/counts must already be that subset's slices.
     """
     T = num_tiles_local or (num_tiles_x * num_tiles_y)
     px_x, px_y = tile_pixel_coords(num_tiles_x, num_tiles_y, tile)  # [Tg, Px]
-    if tile_base is not None:
+    if tile_ids is not None:
+        px_x = jnp.take(px_x, tile_ids, axis=0)
+        px_y = jnp.take(px_y, tile_ids, axis=0)
+    elif tile_base is not None:
         base_idx = jnp.reshape(tile_base, ())
-        if tile_stride == 1:
-            px_x = jax.lax.dynamic_slice_in_dim(px_x, base_idx, T)
-            px_y = jax.lax.dynamic_slice_in_dim(px_y, base_idx, T)
-        else:
-            ids = base_idx + tile_stride * jnp.arange(T, dtype=jnp.int32)
-            px_x = jnp.take(px_x, ids, axis=0)
-            px_y = jnp.take(px_y, ids, axis=0)
+        px_x = jax.lax.dynamic_slice_in_dim(px_x, base_idx, T)
+        px_y = jax.lax.dynamic_slice_in_dim(px_y, base_idx, T)
     n_px = tile * tile
     n_chunks = max(1, -(-max_pairs_per_tile // chunk))
     p_pad = payload.shape[1]

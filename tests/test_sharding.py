@@ -154,6 +154,38 @@ def test_shard_map_data_x_gauss_matches_plain(hand_setup):
     )
 
 
+def test_shard_map_gauss4_matches_plain(hand_setup):
+    """(data=2, gauss=4): four tile-owner columns under the round-robin
+    interleave — a stricter permutation/ownership check than gauss=2
+    (where interleave and contiguous halves coincide for 2 tiles)."""
+    from manus_tpu.train.workloads import make_train_step
+
+    tr = hand_setup
+    batch = tr.sample_batch()
+    state1, metrics1 = tr.train_step(tr.state, batch)
+
+    mesh = make_mesh(n_data=2, n_gauss=4)
+    sharded_step = make_train_step(
+        tr.cfg, tr.dataset.extent, articulated=True, voxel_grid=None,
+        mesh=mesh,
+    )
+    with mesh:
+        state_r = replicate_state(tr.state, mesh)
+        batch_r = shard_batch(batch, mesh)
+        state24, metrics24 = sharded_step(state_r, batch_r)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics24["loss"]), rtol=1e-5
+    )
+    for name in ("opacity", "xyz", "scaling"):
+        a = np.asarray(getattr(state1.model.params, name))
+        b = np.asarray(getattr(state24.model.params, name))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=f"param mismatch: {name}")
+    assert int(metrics24["pair_overflow"]) == int(metrics1["pair_overflow"])
+
+
 def test_multihost_scaffolding_single_process():
     """VERDICT r1 item 7: the multi-host path exists and is exercisable
     at process_count=1 — initialize is a no-op, the mesh builder returns
