@@ -346,14 +346,22 @@ def section_probe(opts):
 
 
 def section_hand(opts):
-    """Hand-module train step (primary / reduced / 720p / xla-fallback)."""
+    """Hand-module train step (primary / reduced / 720p / xla-fallback).
+
+    gt_only builds the scene and saves the GT render without timing —
+    run with force_cpu it pre-renders the GT on the host so the TPU
+    attempts skip one tunnel compile each (the GT image is
+    backend-agnostic; compile latency through the tunnel swings
+    20-900s per program between sessions)."""
     step, state, batch = build_workload(
         opts["backend"], opts["capacity"], opts["width"], opts["height"],
         opts["views"], gt=_load_gt(opts.get("gt_in")),
     )
-    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
     if opts.get("gt_out"):
         np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+    if opts.get("gt_only"):
+        return {"gt": "saved"}
+    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
     return {"ips": round(ips, 3), "hbm_mb": peak_hbm_mb()}
 
 
@@ -498,6 +506,20 @@ def orchestrate() -> dict:
     errors = []
     degraded = None
 
+    # --- pre-render the primary GT on the HOST (cpu): saves one tunnel
+    # compile from every TPU attempt; ~75s of host compute ---
+    have_gt = False
+    if on_tpu and remaining() > 300:
+        r = run_sub("hand", {"force_cpu": True, "backend": "xla",
+                             "capacity": capacity, "width": width,
+                             "height": height, "views": views,
+                             "warmup": 0, "iters": 0,
+                             "gt_only": True, "gt_out": gt_path},
+                    timeout=max(120.0, min(remaining() - 120, 300.0)))
+        have_gt = bool(r.get("ok"))
+        note("primary GT pre-rendered on host"
+             if have_gt else f"host GT failed: {r.get('error')}")
+
     # --- primary: fixed cross-round workload, fresh process per attempt,
     # growing backoff (VERDICT r3: 60s fixed sleeps + same process = two
     # instant repeat failures) ---
@@ -509,8 +531,9 @@ def orchestrate() -> dict:
             break
         r = run_sub("hand", dict(base, backend=backend, capacity=capacity,
                                  width=width, height=height,
-                                 gt_out=gt_path),
-                    timeout=max(90.0, min(remaining() - 30, 420.0)))
+                                 gt_out=gt_path,
+                                 gt_in=gt_path if have_gt else None),
+                    timeout=max(90.0, min(remaining() - 30, 600.0)))
         if r.get("ok"):
             prim = r["results"]
             break
