@@ -529,11 +529,13 @@ def orchestrate() -> dict:
             errors.append("primary: budget exhausted before attempt "
                           f"{attempt + 1}")
             break
+        # cap at 900s: the slowest observed tunnel compile of this
+        # workload (one program with the host-side GT) was ~912s
         r = run_sub("hand", dict(base, backend=backend, capacity=capacity,
                                  width=width, height=height,
                                  gt_out=gt_path,
                                  gt_in=gt_path if have_gt else None),
-                    timeout=max(90.0, min(remaining() - 30, 600.0)))
+                    timeout=max(90.0, min(remaining() - 30, 900.0)))
         if r.get("ok"):
             prim = r["results"]
             break
