@@ -421,19 +421,22 @@ def _make_bwd_kernel(ntx: int, tile: int, chunk: int, tpp: int):
                 )
                 d_op = jnp.sum(d_alpha * g_val, axis=0, keepdims=True)
                 d_power = d_alpha * op * g_val
-                d_mx = jnp.sum(
-                    d_power * (ca * dx + cb * dy), axis=0, keepdims=True
-                )
-                d_my = jnp.sum(
-                    d_power * (cc * dy + cb * dx), axis=0, keepdims=True
-                )
-                d_ca = jnp.sum(
-                    d_power * (-0.5 * dx * dx), axis=0, keepdims=True
-                )
-                d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-                d_cc = jnp.sum(
-                    d_power * (-0.5 * dy * dy), axis=0, keepdims=True
-                )
+                # conic/mean cotangents share the d_power*dx / d_power*dy
+                # factors: 5 product passes + 5 reductions instead of the
+                # naive ~17 full [Px, G] passes (ca/cb/cc are [1, G] rows,
+                # so their weighting moves outside the pixel reduction)
+                dpx = d_power * dx
+                dpy = d_power * dy
+                p1 = jnp.sum(dpx, axis=0, keepdims=True)
+                p2 = jnp.sum(dpy, axis=0, keepdims=True)
+                q11 = jnp.sum(dpx * dx, axis=0, keepdims=True)
+                q12 = jnp.sum(dpx * dy, axis=0, keepdims=True)
+                q22 = jnp.sum(dpy * dy, axis=0, keepdims=True)
+                d_mx = ca * p1 + cb * p2
+                d_my = cc * p2 + cb * p1
+                d_ca = -0.5 * q11
+                d_cb = -q12
+                d_cc = -0.5 * q22
                 pad = jnp.zeros((NUM_FIELDS - 9, chunk), jnp.float32)
                 contrib = jnp.concatenate(
                     [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colors, pad],
