@@ -369,12 +369,19 @@ def section_flagship(opts):
     """Canonical train-CLI hand config: 131k gaussians, 512^2, 96^3 MANO
     voxel skinning grid resampled per step; then the same config with the
     canonical VGG LPIPS loss on (post-step-1000 behaviour). Both run in
-    one process so the GT render compile is paid once; a failure in the
-    LPIPS half still returns the voxel number."""
+    one process so the GT render (or its host-side pre-render, gt_in) is
+    paid once; a failure in the LPIPS half still returns the voxel
+    number."""
     step, state, batch = build_workload(
-        "pallas", opts["capacity"], opts["width"], opts["height"],
+        "pallas" if not opts.get("force_cpu") else "xla",
+        opts["capacity"], opts["width"], opts["height"],
         opts["views"], voxel_res=opts["voxel_res"],
+        gt=_load_gt(opts.get("gt_in")),
     )
+    if opts.get("gt_out"):
+        np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+    if opts.get("gt_only"):
+        return {"gt": "saved"}
     flag_ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
     out = {"flag_ips": round(flag_ips, 3), "hbm_mb": peak_hbm_mb()}
     try:
@@ -500,25 +507,57 @@ def orchestrate() -> dict:
 
     tmpdir = tempfile.mkdtemp(prefix="bench_gt_")
     gt_path = os.path.join(tmpdir, "gt_primary.npz")
+    gt_hd_path = os.path.join(tmpdir, "gt_720p.npz")
+    gt_flag_path = os.path.join(tmpdir, "gt_flagship.npz")
     base = {"force_cpu": force_cpu, "views": views,
             "warmup": warmup, "iters": iters}
 
     errors = []
     degraded = None
 
-    # --- pre-render the primary GT on the HOST (cpu): saves one tunnel
-    # compile from every TPU attempt; ~75s of host compute ---
+    # --- pre-render every section's GT on the HOST, in PARALLEL with the
+    # TPU work: each saved GT removes one tunnel compile from its TPU
+    # section (compile queues measured 400-900s this round vs ~75-300s of
+    # host render). The CPU children run concurrently with the TPU
+    # attempts — they contend for nothing.
+    gt_jobs = {}
+
+    def spawn_gt(name, section, opts):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--section", section, "--opts", json.dumps(opts)]
+        gt_jobs[name] = subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        )
+
+    def await_gt(name, path, timeout):
+        p = gt_jobs.get(name)
+        if p is None:
+            return os.path.exists(path)
+        try:
+            p.wait(timeout=max(0.0, timeout))
+        except subprocess.TimeoutExpired:
+            return False
+        return p.returncode == 0 and os.path.exists(path)
+
+    if on_tpu:
+        gt_cpu = {"force_cpu": True, "backend": "xla", "views": views,
+                  "warmup": 0, "iters": 0, "gt_only": True}
+        spawn_gt("primary", "hand", dict(gt_cpu, capacity=capacity,
+                                         width=width, height=height,
+                                         gt_out=gt_path))
+        spawn_gt("hd", "hand", dict(gt_cpu, capacity=1 << 17, width=1280,
+                                    height=720, gt_out=gt_hd_path))
+        spawn_gt("flag", "flagship", dict(gt_cpu, capacity=1 << 17,
+                                          width=512, height=512,
+                                          voxel_res=96,
+                                          gt_out=gt_flag_path))
+
     have_gt = False
     if on_tpu and remaining() > 300:
-        r = run_sub("hand", {"force_cpu": True, "backend": "xla",
-                             "capacity": capacity, "width": width,
-                             "height": height, "views": views,
-                             "warmup": 0, "iters": 0,
-                             "gt_only": True, "gt_out": gt_path},
-                    timeout=max(120.0, min(remaining() - 120, 300.0)))
-        have_gt = bool(r.get("ok"))
-        note("primary GT pre-rendered on host"
-             if have_gt else f"host GT failed: {r.get('error')}")
+        have_gt = await_gt("primary", gt_path,
+                           max(60.0, min(remaining() - 120, 300.0)))
+        note("primary GT pre-rendered on host" if have_gt
+             else "host GT not ready; primary renders its own")
 
     # --- primary: fixed cross-round workload, fresh process per attempt,
     # growing backoff (VERDICT r3: 60s fixed sleeps + same process = two
@@ -581,10 +620,12 @@ def orchestrate() -> dict:
     hd_ips = flag_ips = flag_lpips_ips = obj_ips = xla_ips = None
     healthy = prim is not None and degraded is None
     if on_tpu and healthy and remaining() > 180:
+        hd_gt = await_gt("hd", gt_hd_path, min(remaining() * 0.2, 120.0))
         r = run_sub("hand", dict(base, backend="pallas", capacity=1 << 17,
                                  width=1280, height=720,
-                                 iters=max(iters // 2, 4)),
-                    timeout=max(90.0, min(remaining() - 30, 420.0)))
+                                 iters=max(iters // 2, 4),
+                                 gt_in=gt_hd_path if hd_gt else None),
+                    timeout=max(90.0, min(remaining() - 30, 700.0)))
         if r.get("ok"):
             hd_ips = r["results"]["ips"]
             note(f"hand 720p: {hd_ips:.1f} it/s")
@@ -594,10 +635,13 @@ def orchestrate() -> dict:
         note("skipping 720p (budget/health)")
 
     if on_tpu and healthy and remaining() > 200:
+        flag_gt = await_gt("flag", gt_flag_path,
+                           min(remaining() * 0.2, 120.0))
         r = run_sub("flagship", dict(base, capacity=1 << 17, width=512,
                                      height=512, voxel_res=96,
-                                     iters=max(iters // 2, 4)),
-                    timeout=max(120.0, min(remaining() - 30, 480.0)))
+                                     iters=max(iters // 2, 4),
+                                     gt_in=gt_flag_path if flag_gt else None),
+                    timeout=max(120.0, min(remaining() - 30, 800.0)))
         if r.get("ok"):
             flag_ips = r["results"]["flag_ips"]
             flag_lpips_ips = r["results"].get("flag_lpips_ips")
@@ -616,7 +660,7 @@ def orchestrate() -> dict:
     if healthy and remaining() > 120:
         r = run_sub("object", dict(base, backend=backend, capacity=capacity,
                                    width=width, height=height),
-                    timeout=max(90.0, min(remaining() - 30, 360.0)))
+                    timeout=max(90.0, min(remaining() - 30, 600.0)))
         if r.get("ok"):
             obj_ips = r["results"]["ips"]
             note(f"object: {obj_ips:.1f} it/s")
@@ -630,7 +674,7 @@ def orchestrate() -> dict:
         r = run_sub("hand", dict(base, backend="xla", capacity=capacity,
                                  width=width, height=height,
                                  iters=max(iters // 4, 2), gt_in=gt_path),
-                    timeout=max(90.0, min(remaining() - 20, 360.0)))
+                    timeout=max(90.0, min(remaining() - 20, 600.0)))
         if r.get("ok"):
             xla_ips = r["results"]["ips"]
             note(f"xla fallback: {xla_ips:.2f} it/s")
@@ -638,6 +682,12 @@ def orchestrate() -> dict:
             errors.append(f"xla: {r.get('error')}")
     else:
         note("skipping xla fallback (budget/health)")
+
+    # reap any host GT renders that outlived their usefulness (CPU-only
+    # children; killing them cannot wedge the tunnel)
+    for p in gt_jobs.values():
+        if p.poll() is None:
+            p.kill()
 
     # vs_baseline = speedup over the in-repo XLA fallback renderer,
     # same-session measurements only (a stale cross-session constant
