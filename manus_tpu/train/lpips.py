@@ -401,13 +401,18 @@ def lpips_distance_pallas(params: dict, img1: jax.Array, img2: jax.Array,
 def resolve_lpips_engine(lpips_conv: str, params: dict) -> str:
     """Conv-engine resolution shared by compute_losses and the trainer's
     gt-feature cache: 'auto' = the measured-fastest engine on TPU for VGG
-    params (xla_dx_bf16, see PARITY.md round-3 notes), fp32 XLA autodiff
-    elsewhere. The cache MUST be built with the same engine the loss uses:
-    feature values (and layouts, for pallas) differ across engines."""
+    params, fp32 XLA autodiff elsewhere. Round-4 SAME-SESSION A/B
+    (scripts/profile_lpips_stages.py, v5e, 512^2, 20-iter chains):
+    layout-persistent Pallas chain 11.65 ms f+b vs xla_dx_bf16 14.63 ms —
+    the round-3 cross-session numbers (13.5 vs 11.9) had the order
+    reversed; tunnel throughput swings between sessions, so only
+    same-session comparisons count (PARITY.md). The cache MUST be built
+    with the same engine the loss uses: feature values (and layouts, for
+    pallas) differ across engines."""
     if lpips_conv != "auto":
         return lpips_conv
     return (
-        "xla_dx_bf16"
+        "pallas"
         if jax.default_backend() == "tpu" and infer_arch(params) == "vgg"
         else "xla"
     )
