@@ -367,37 +367,29 @@ def section_hand(opts):
 
 def section_flagship(opts):
     """Canonical train-CLI hand config: 131k gaussians, 512^2, 96^3 MANO
-    voxel skinning grid resampled per step; then the same config with the
-    canonical VGG LPIPS loss on (post-step-1000 behaviour). Both run in
-    one process so the GT render (or its host-side pre-render, gt_in) is
-    paid once; a failure in the LPIPS half still returns the voxel
-    number."""
+    voxel skinning grid resampled per step (part="voxel"); part="lpips"
+    is the same config with the canonical VGG LPIPS loss on
+    (post-step-1000 behaviour) through the production conv engine. The
+    parts run as SEPARATE subprocesses so each gets its own timeout
+    window — the LPIPS step's compile alone carries ~30 Mosaic kernels.
+    Both reuse the host-pre-rendered GT (gt_in)."""
+    lpips_params = None
+    if opts.get("part") == "lpips":
+        from manus_tpu.train.lpips import random_lpips_params
+
+        lpips_params = random_lpips_params(0, arch="vgg")
     step, state, batch = build_workload(
         "pallas" if not opts.get("force_cpu") else "xla",
         opts["capacity"], opts["width"], opts["height"],
         opts["views"], voxel_res=opts["voxel_res"],
-        gt=_load_gt(opts.get("gt_in")),
+        gt=_load_gt(opts.get("gt_in")), lpips_params=lpips_params,
     )
     if opts.get("gt_out"):
         np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
     if opts.get("gt_only"):
         return {"gt": "saved"}
-    flag_ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
-    out = {"flag_ips": round(flag_ips, 3), "hbm_mb": peak_hbm_mb()}
-    try:
-        from manus_tpu.train.lpips import random_lpips_params
-
-        step_l, state_l, batch_l = build_workload(
-            "pallas", opts["capacity"], opts["width"], opts["height"],
-            opts["views"], voxel_res=opts["voxel_res"], gt=batch["rgb"],
-            lpips_params=random_lpips_params(0, arch="vgg"),
-        )
-        out["flag_lpips_ips"] = round(
-            time_iters(step_l, state_l, batch_l, opts["warmup"],
-                       opts["iters"]), 3)
-    except Exception as e:  # keep the voxel number
-        out["lpips_error"] = f"{type(e).__name__}: {e}"
-    return out
+    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
+    return {"ips": round(ips, 3), "hbm_mb": peak_hbm_mb()}
 
 
 def section_object(opts):
@@ -637,23 +629,26 @@ def orchestrate() -> dict:
     if on_tpu and healthy and remaining() > 200:
         flag_gt = await_gt("flag", gt_flag_path,
                            min(remaining() * 0.2, 120.0))
-        r = run_sub("flagship", dict(base, capacity=1 << 17, width=512,
-                                     height=512, voxel_res=96,
-                                     iters=max(iters // 2, 4),
-                                     gt_in=gt_flag_path if flag_gt else None),
+        flag_opts = dict(base, capacity=1 << 17, width=512, height=512,
+                         voxel_res=96, iters=max(iters // 2, 4),
+                         gt_in=gt_flag_path if flag_gt else None)
+        r = run_sub("flagship", dict(flag_opts, part="voxel"),
                     timeout=max(120.0, min(remaining() - 30, 800.0)))
         if r.get("ok"):
-            flag_ips = r["results"]["flag_ips"]
-            flag_lpips_ips = r["results"].get("flag_lpips_ips")
+            flag_ips = r["results"]["ips"]
             note(f"flagship voxel: {flag_ips:.1f} it/s "
                  f"({1e3 / flag_ips:.1f} ms/step)")
-            if flag_lpips_ips:
-                note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
-                     f"({1e3 / flag_lpips_ips:.1f} ms/step)")
-            if r["results"].get("lpips_error"):
-                errors.append(f"flagship lpips: {r['results']['lpips_error']}")
         else:
             errors.append(f"flagship: {r.get('error')}")
+        if flag_ips and remaining() > 150:
+            r = run_sub("flagship", dict(flag_opts, part="lpips"),
+                        timeout=max(120.0, min(remaining() - 30, 800.0)))
+            if r.get("ok"):
+                flag_lpips_ips = r["results"]["ips"]
+                note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
+                     f"({1e3 / flag_lpips_ips:.1f} ms/step)")
+            else:
+                errors.append(f"flagship lpips: {r.get('error')}")
     else:
         note("skipping flagship (budget/health)")
 
