@@ -707,3 +707,39 @@ def maxpool2x2(x: jax.Array) -> jax.Array:
         x[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, x.shape[-1]),
         axis=(1, 3),
     )
+
+
+def maxpool2x2_layout(xl: jax.Array, La: StageLayout,
+                      Lb: StageLayout) -> jax.Array:
+    """2x2/2 max pool directly between persistent layouts — equal values
+    to build_layout(maxpool2x2(unlayout(xl, La)), Lb) without its three
+    materializing junk-column slices/pads (measured 0.64 ms fwd + ~1.1 ms
+    eq-mask VJP for the 512² boundary; this form is a leading-dim slice +
+    reshape-max + two pads that XLA fuses).
+
+    The junk-column algebra lines up exactly: pixel (y, x) sits at flat
+    row La.m_blk + y*(Wa+2) + x with zeros at x = Wa, Wa+1, so row pairs
+    are adjacent w2a-row groups and the x-junk PAIR pools to the zero
+    column the pooled row needs — only one extra zero column (stride
+    Wa/2+1 -> Wb+2) and the Lb border blocks are added by padding.
+    Requires La.w even and Lb.w == La.w // 2 (every VGG boundary).
+
+    Autodiff caveat: unlike the composed form (whose pad-transpose
+    discards junk-column cotangent), this VJP routes cotangent arriving
+    at the pooled JUNK column into the junk input pair. In the conv
+    chain that cotangent is always zero — the dx conv kernels and the
+    head mask junk rows — so the gradients are identical there
+    (tests/test_conv_pallas.py asserts it under that invariant)."""
+    w2a = La.w + 2
+    c = xl.shape[-1]
+    h2, w2b = Lb.h, Lb.w + 2
+    assert La.w % 2 == 0 and 2 * Lb.w == La.w and 2 * h2 <= (
+        La.tile_h * La.n_blocks
+    )
+    core = xl[La.m_blk : La.m_blk + 2 * h2 * w2a]
+    ym = jnp.max(core.reshape(h2, 2, w2a // 2, 2, c), axis=(1, 3))
+    ym = jnp.pad(ym, ((0, 0), (0, w2b - w2a // 2), (0, 0)))
+    out = ym.reshape(h2 * w2b, c)
+    return jnp.pad(
+        out, ((Lb.m_blk, Lb.rows - Lb.m_blk - out.shape[0]), (0, 0))
+    )

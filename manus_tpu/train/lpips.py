@@ -331,7 +331,7 @@ def vgg16_features_pallas(params: dict, x: jax.Array,
     ...]; use `manus_tpu.ops.conv_pallas.unlayout(feat, L)` for [H, W, C]
     tensors."""
     from manus_tpu.ops.conv_pallas import (
-        build_layout, conv3x3_layout, maxpool2x2, unlayout,
+        build_layout, conv3x3_layout, maxpool2x2_layout,
     )
 
     x = (x - jnp.asarray(SHIFT)) / jnp.asarray(SCALE)
@@ -341,7 +341,8 @@ def vgg16_features_pallas(params: dict, x: jax.Array,
     for si, stage in enumerate(VGG_PLAN["stages"]):
         L = layouts[si]
         if si in VGG_PLAN["pool_before"]:
-            xl = build_layout(maxpool2x2(unlayout(xl, layouts[si - 1])), L)
+            # direct layout->layout pool: no junk-column slice/pad copies
+            xl = maxpool2x2_layout(xl, layouts[si - 1], L)
         elif xl is None:
             xl = build_layout(x, L)
         for li in range(len(stage)):

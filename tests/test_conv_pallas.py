@@ -104,6 +104,50 @@ def test_maxpool2x2_matches_reduce_window():
     assert float(jnp.sum(g)) == pytest.approx(4 * 4 * 2)
 
 
+def test_maxpool2x2_layout_matches_composed():
+    """Direct layout->layout pool == build_layout(maxpool(unlayout)) in
+    values AND cotangents, including an odd-height boundary (720p-style
+    45 -> 22 drops the trailing row)."""
+    from manus_tpu.ops.conv_pallas import (
+        StageLayout, build_layout, maxpool2x2_layout, unlayout,
+    )
+
+    rng = np.random.RandomState(2)
+    for h, w in ((32, 32), (45, 64)):
+        La = StageLayout(h, w, 128)
+        Lb = StageLayout(h // 2, w // 2, 128)
+        x = jnp.asarray(rng.normal(0, 1, (h, w, 7)), jnp.float32)
+        xl = build_layout(x, La)
+
+        def composed(a):
+            return build_layout(maxpool2x2(unlayout(a, La)), Lb)
+
+        def direct(a):
+            return maxpool2x2_layout(a, La, Lb)
+
+        ref, ref_vjp = jax.vjp(composed, xl)
+        got, got_vjp = jax.vjp(direct, xl)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # cotangents agree under the chain invariant that junk/border
+        # rows carry ZERO cotangent (the head and conv kernels zero
+        # them): the direct pool would otherwise route junk-column
+        # cotangent into the junk input pair that the composed form's
+        # pad-transpose discards
+        ct = jnp.asarray(rng.normal(0, 1, ref.shape), ref.dtype)
+        q = jnp.arange(Lb.rows)[:, None]
+        w2b = Lb.w + 2
+        valid = (
+            (q >= Lb.m_blk)
+            & (q < Lb.m_blk + Lb.h * w2b)
+            & ((q - Lb.m_blk) % w2b < Lb.w)
+        )
+        ct = jnp.where(valid, ct, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(got_vjp(ct)[0]), np.asarray(ref_vjp(ct)[0]),
+            atol=1e-5,
+        )
+
+
 @pytest.mark.parametrize(
     "h,w,ci,co",
     [
