@@ -158,15 +158,25 @@ def main():
             jnp.zeros((L.rows, co), jnp.bfloat16),
         )
 
-    # 3. pool boundaries (unlayout -> pool -> build_layout), fwd and f+b
+    # 3. pool boundaries, fwd and f+b. "pools" times the composed
+    # unlayout -> pool -> build_layout form; "poolsnew" the direct
+    # layout->layout maxpool2x2_layout (the production path).
+    from manus_tpu.ops.conv_pallas import maxpool2x2_layout
+
     for si in (1, 2, 3, 4):
-        if not want("pools"):
+        mode = ("pools" if want("pools") else
+                "poolsnew" if want("poolsnew") else None)
+        if mode is None:
             break
         La, Lb = layouts[si - 1], layouts[si]
         xl0 = stage_input(si - 1)
 
-        def pool_apply(x, La=La, Lb=Lb):
-            return build_layout(maxpool2x2(unlayout(x, La)), Lb)
+        if mode == "poolsnew":
+            def pool_apply(x, La=La, Lb=Lb):
+                return maxpool2x2_layout(x, La, Lb)
+        else:
+            def pool_apply(x, La=La, Lb=Lb):
+                return build_layout(maxpool2x2(unlayout(x, La)), Lb)
 
         def pool_body(c, xl0=xl0, apply=pool_apply):
             x = xl0 + 1e-9 * jnp.mean(c)
