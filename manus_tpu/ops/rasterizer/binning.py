@@ -74,6 +74,7 @@ def tile_owner_tables(num_tiles_x: int, num_tiles_y: int, num_owners: int):
     owner's id-ascending list, owned_ids[n, T/n], perm[T] — position of
     global tile t in the owner-major all_gather output).
     """
+    assert (num_tiles_x * num_tiles_y) % num_owners == 0
     t = np.arange(num_tiles_x * num_tiles_y)
     tx, ty = t % num_tiles_x, t // num_tiles_x
     deal = np.lexsort((tx, tx + ty))  # diagonal scan order
