@@ -617,7 +617,7 @@ def orchestrate() -> dict:
                                  width=1280, height=720,
                                  iters=max(iters // 2, 4),
                                  gt_in=gt_hd_path if hd_gt else None),
-                    timeout=max(90.0, min(remaining() - 30, 700.0)))
+                    timeout=max(90.0, min(remaining() - 30, 900.0)))
         if r.get("ok"):
             hd_ips = r["results"]["ips"]
             note(f"hand 720p: {hd_ips:.1f} it/s")
@@ -633,7 +633,7 @@ def orchestrate() -> dict:
                          voxel_res=96, iters=max(iters // 2, 4),
                          gt_in=gt_flag_path if flag_gt else None)
         r = run_sub("flagship", dict(flag_opts, part="voxel"),
-                    timeout=max(120.0, min(remaining() - 30, 800.0)))
+                    timeout=max(120.0, min(remaining() - 30, 900.0)))
         if r.get("ok"):
             flag_ips = r["results"]["ips"]
             note(f"flagship voxel: {flag_ips:.1f} it/s "
@@ -642,7 +642,7 @@ def orchestrate() -> dict:
             errors.append(f"flagship: {r.get('error')}")
         if flag_ips and remaining() > 150:
             r = run_sub("flagship", dict(flag_opts, part="lpips"),
-                        timeout=max(120.0, min(remaining() - 30, 800.0)))
+                        timeout=max(120.0, min(remaining() - 30, 900.0)))
             if r.get("ok"):
                 flag_lpips_ips = r["results"]["ips"]
                 note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
