@@ -51,6 +51,7 @@ _T0 = time.perf_counter()
 # instead of nothing (BENCH_r01-r03 each lost fields to exactly this).
 _STATE: dict = {}
 _CURRENT_CHILD = None
+_GT_JOBS: dict = {}
 _FINAL_EMITTED = False
 
 
@@ -70,6 +71,9 @@ def _emit_and_exit(signum, frame):  # noqa: ARG001
     child = _CURRENT_CHILD
     if child is not None and child.poll() is None:
         child.kill()  # exact PID we spawned, never a pattern
+    for p in _GT_JOBS.values():  # CPU-only GT renders; same exact-PID rule
+        if p.poll() is None:
+            p.kill()
     os._exit(0)
 
 
@@ -608,7 +612,7 @@ def orchestrate() -> dict:
     # section (compile queues measured 400-900s this round vs ~75-300s of
     # host render). The CPU children run concurrently with the TPU
     # attempts — they contend for nothing.
-    gt_jobs = {}
+    gt_jobs = _GT_JOBS  # module-level: the signal handler reaps these too
 
     def spawn_gt(name, section, opts):
         cmd = [sys.executable, os.path.abspath(__file__),
