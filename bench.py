@@ -720,16 +720,22 @@ def orchestrate() -> dict:
     hd_ips = flag_ips = flag_lpips_ips = obj_ips = xla_ips = None
     healthy = prim is not None and degraded is None
 
-    def attempt_section(name, section, opts, min_budget, attempts=2):
+    def attempt_section(name, section, opts, min_budget, attempts=2,
+                        gt=None):
         """Run an optional section with up to `attempts` fresh processes.
         The flagship/720p compiles swing 200-900s between sessions; a
         single timed-out attempt in a bad queue does not mean the next
-        fresh process (often landing in a drained queue) will too."""
+        fresh process (often landing in a drained queue) will too. `gt`
+        is a (job_name, path) pair: a host GT render that missed the
+        first attempt's await is picked up by the retry instead of
+        burning a tunnel compile on a TPU-side GT render."""
         for k in range(attempts):
             if remaining() < min_budget:
                 if k == 0:
                     note(f"skipping {name} (budget)")
                 return None
+            if gt and not opts.get("gt_in") and await_gt(gt[0], gt[1], 0.0):
+                opts = dict(opts, gt_in=gt[1])
             r = run_sub(section, opts,
                         timeout=max(90.0, min(remaining() - 30, 900.0)))
             if r.get("ok"):
@@ -747,7 +753,7 @@ def orchestrate() -> dict:
             dict(base, backend="pallas", capacity=1 << 17, width=1280,
                  height=720, iters=max(iters // 2, 4),
                  gt_in=gt_hd_path if hd_gt else None),
-            min_budget=180)
+            min_budget=180, gt=("hd", gt_hd_path))
         _STATE["hd_ips"] = hd_ips
         if hd_ips:
             note(f"hand 720p: {hd_ips:.1f} it/s")
@@ -762,7 +768,8 @@ def orchestrate() -> dict:
                          gt_in=gt_flag_path if flag_gt else None)
         flag_ips = attempt_section("flagship", "flagship",
                                    dict(flag_opts, part="voxel"),
-                                   min_budget=200)
+                                   min_budget=200,
+                                   gt=("flag", gt_flag_path))
         _STATE["flag_ips"] = flag_ips
         if flag_ips:
             note(f"flagship voxel: {flag_ips:.1f} it/s "
@@ -770,7 +777,8 @@ def orchestrate() -> dict:
         if flag_ips and remaining() > 150:
             flag_lpips_ips = attempt_section("flagship lpips", "flagship",
                                              dict(flag_opts, part="lpips"),
-                                             min_budget=150)
+                                             min_budget=150,
+                                             gt=("flag", gt_flag_path))
             _STATE["flag_lpips_ips"] = flag_lpips_ips
             if flag_lpips_ips:
                 note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
