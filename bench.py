@@ -19,18 +19,29 @@ baseline the kernel work is judged against). When the XLA fallback was
 not measured this session, vs_baseline is null (a stale cross-session
 constant drifted as kernels changed; VERDICT r3 weak 6).
 
-Architecture (VERDICT r3 item 1): the orchestrator (default entry) runs
-every measurement in a FRESH SUBPROCESS (`bench.py --section NAME`).
-BENCH_r03's failure tail showed instant repeat failures after the first
-device error — a poisoned in-process device context that sleep() cannot
-fix; process isolation can. The orchestrator first probes the device
-with a trivial matmul, retries the primary in fresh processes with
-growing backoff, then degrades to a reduced-capacity workload and
-finally a CPU workload so *some* number always lands (loudly flagged via
-extra.workload_degraded).
+Architecture (VERDICT r3 item 1 + r4 item 1): the orchestrator (default
+entry) runs every measurement in a FRESH SUBPROCESS (`bench.py --section
+NAME`). BENCH_r03's failure tail showed instant repeat failures after the
+first device error — a poisoned in-process device context that sleep()
+cannot fix; process isolation can. Sections are ordered by DECISION VALUE
+(round-5 reorder — the driver killed two rounds' runs at ~1800s while the
+plan assumed 3900s, losing vs_baseline + flagship every time):
+
+  probe -> [primary pallas -> xla fallback]   (one child; vs_baseline)
+        -> [flagship voxel -> flagship lpips] (one child)
+        -> object -> 720p (LAST: the most expensive compile, ~840s, and
+                           the least decision-relevant number)
+
+Chained children emit PARTIAL result lines as each measurement lands, and
+run_sub recovers those partials from the pipe buffer even when the child
+is killed on timeout — a mid-chain timeout keeps everything already
+measured. The default budget (1650s) now fits the driver's observed
+~1800s window; a shorter outer window just truncates the chain (the
+SIGTERM handler flushes the snapshot as the JSON line).
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -45,41 +56,79 @@ import numpy as np
 _T0 = time.perf_counter()
 
 # Progressive snapshot (round 4): every measured field lands in _STATE as
-# soon as its section completes. A SIGTERM/SIGINT from the driver's outer
-# timeout triggers _emit_and_exit, which prints the snapshot as THE json
-# line — so even a killed bench reports everything measured so far
-# instead of nothing (BENCH_r01-r03 each lost fields to exactly this).
+# soon as its section completes (round 5: including partial results
+# recovered from timed-out chained children). A SIGTERM/SIGINT from the
+# driver's outer timeout triggers _emit_and_exit, which prints the
+# snapshot as THE json line — so even a killed bench reports everything
+# measured so far instead of nothing (BENCH_r01-r03 each lost fields to
+# exactly this).
 _STATE: dict = {}
 _CURRENT_CHILD = None
 _GT_JOBS: dict = {}
 _FINAL_EMITTED = False
+_HANDLED_SIGS = (signal.SIGTERM, signal.SIGINT, signal.SIGHUP)
+
+
+@contextlib.contextmanager
+def _signals_blocked():
+    """Mask the handled signals for a critical section (ADVICE r4: a
+    signal landing between Popen() and the child-handle assignment leaked
+    a live TPU child; one landing mid-final-print truncated the JSON
+    line). No-op where pthread_sigmask is unavailable."""
+    try:
+        old = signal.pthread_sigmask(signal.SIG_BLOCK, set(_HANDLED_SIGS))
+    except (AttributeError, ValueError, OSError):
+        old = None
+    try:
+        yield
+    finally:
+        if old is not None:
+            signal.pthread_sigmask(signal.SIG_SETMASK, old)
 
 
 def _emit_snapshot(extra_error: str | None = None) -> None:
     global _FINAL_EMITTED
     if _FINAL_EMITTED:
         return
-    _FINAL_EMITTED = True
     st = dict(_STATE) if _STATE else {"on_tpu": False, "errors": []}
     if extra_error:
         st.setdefault("errors", []).append(extra_error)
     print(json.dumps(assemble(st)), flush=True)
+    # flag AFTER the print completes (ADVICE r4: setting it first meant a
+    # signal arriving mid-print skipped emission entirely in the handler)
+    _FINAL_EMITTED = True
 
 
 def _emit_and_exit(signum, frame):  # noqa: ARG001
+    # block further handled signals so a second kill cannot re-enter the
+    # handler mid-print or mid-reap
+    try:
+        signal.pthread_sigmask(signal.SIG_BLOCK, set(_HANDLED_SIGS))
+    except (AttributeError, ValueError, OSError):
+        pass
     _emit_snapshot(f"killed by signal {signum} at t={time.perf_counter() - _T0:.0f}s")
-    child = _CURRENT_CHILD
-    if child is not None and child.poll() is None:
-        child.kill()  # exact PID we spawned, never a pattern
-    for p in _GT_JOBS.values():  # CPU-only GT renders; same exact-PID rule
-        if p.poll() is None:
-            p.kill()
+    try:
+        child = _CURRENT_CHILD
+        if child is not None and child.poll() is None:
+            child.kill()  # exact PID we spawned, never a pattern
+        for p in list(_GT_JOBS.values()):  # CPU-only GT renders; same rule
+            if p.poll() is None:
+                p.kill()
+    except Exception:
+        pass  # the contract line is already out; never abort the exit path
     os._exit(0)
 
 
 def note(msg: str) -> None:
     print(f"[bench] {msg} (t={time.perf_counter() - _T0:.0f}s)",
           file=sys.stderr, flush=True)
+
+
+def emit_partial(**kv) -> None:
+    """Child-side: flush one completed measurement to stdout immediately.
+    The orchestrator merges these into its snapshot even if this child is
+    later killed on timeout (run_sub scans the buffered pipe output)."""
+    print(json.dumps({"partial": kv}), flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -328,64 +377,117 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
     return train_step, state, batch
 
 
-def peak_hbm_mb():
-    """Peak device memory (train step donates the state, so this is
-    the working-set headroom number); None where the tunneled
-    platform doesn't expose stats."""
-    import jax
+def time_iters(train_step, state, batch, warmup: int, iters: int,
+               want_mem: bool = False):
+    """Time the serially-dependent step chain; optionally AOT-compile via
+    jit.lower().compile() first so the executable's memory_analysis()
+    fills peak_hbm_mb (VERDICT r4 missing #4 — runtime memory_stats()
+    returns nothing through the axon tunnel, but the compile-side
+    analysis is server-computed and always available). The AOT compile IS
+    the one compile (the timed calls reuse it); on any AOT failure we
+    fall back to the plain jitted path (second compile — callers pass
+    want_mem only on first attempts).
 
-    try:
-        stats = jax.devices()[0].memory_stats()
-        return round(stats["peak_bytes_in_use"] / (1 << 20))
-    except Exception:
-        return None
+    NOTE: force actual host readbacks around the timed region —
+    block_until_ready does not reliably synchronize on the tunneled
+    axon TPU platform, and async dispatch would otherwise make the
+    loop measure enqueue time only. Steps are serially dependent
+    (state feeds state), so one trailing readback fences all of them.
 
+    Returns (iters_per_s, mem_mb_or_None)."""
+    mem_mb = None
+    fn = train_step
+    if want_mem:
+        jitted = getattr(train_step, "_jitted", None)
+        extra = getattr(train_step, "_extra_args", ())
+        if jitted is not None:
+            try:
+                compiled = jitted.lower(state, batch, *extra).compile()
+                ma = compiled.memory_analysis()
+                live = (getattr(ma, "argument_size_in_bytes", 0)
+                        + getattr(ma, "output_size_in_bytes", 0)
+                        + getattr(ma, "temp_size_in_bytes", 0)
+                        - getattr(ma, "alias_size_in_bytes", 0))
+                if live > 0:
+                    mem_mb = round(live / (1 << 20))
 
-def time_iters(train_step, state, batch, warmup: int, iters: int):
-    # NOTE: force actual host readbacks around the timed region —
-    # block_until_ready does not reliably synchronize on the tunneled
-    # axon TPU platform, and async dispatch would otherwise make the
-    # loop measure enqueue time only. Steps are serially dependent
-    # (state feeds state), so one trailing readback fences all of them.
+                def fn(s, b):
+                    return compiled(s, b, *extra)
+            except Exception as e:  # AOT unsupported -> plain jit path
+                note(f"aot memory_analysis unavailable: "
+                     f"{type(e).__name__}: {e}")
+                fn, mem_mb = train_step, None
     for _ in range(warmup):
-        state, metrics = train_step(state, batch)
+        state, metrics = fn(state, batch)
     np.asarray(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = train_step(state, batch)
+        state, metrics = fn(state, batch)
     loss = float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), "non-finite loss in bench"
-    return iters / dt
+    return iters / dt, mem_mb
 
 
 # ---------------------------------------------------------------------------
 # Sections (child-process mode): each measures one thing and prints one
-# JSON line {"ok": true, "results": {...}} / {"ok": false, "error": "..."}
+# JSON line {"ok": true, "results": {...}} / {"ok": false, "error": "..."}.
+# Chained sections additionally emit {"partial": {...}} lines as each
+# inner measurement completes.
 # ---------------------------------------------------------------------------
 
 
 def section_probe(opts):
-    """Trivial device op + host readback: proves the tunnel/chip is alive
-    before the expensive workloads compile (VERDICT r3 item 1b)."""
+    """Trivial device op + host readback proves the tunnel/chip is alive
+    before the expensive workloads compile, then a chained 2048^2 matmul
+    loop (traced fori_loop bound; loop-carried dependency) measures this
+    SESSION's device throughput — the normalizer that makes artifact
+    numbers comparable across rounds despite the tunnel's documented
+    ±20% session swings (VERDICT r4 weak 6)."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((256, 256), jnp.float32)
     v = float(np.asarray(x @ x)[0, 0])
     assert abs(v - 256.0) < 1e-3, f"probe matmul wrong: {v}"
-    return {"backend": jax.default_backend(),
-            "device": str(jax.devices()[0])}
+    out = {"backend": jax.default_backend(),
+           "device": str(jax.devices()[0])}
+    if out["backend"] != "tpu":
+        return out  # the normalizer is a TPU-session number; skip on CPU
+
+    try:
+        n = 2048
+        a = jnp.asarray(
+            np.random.RandomState(0).normal(0, 1.0 / n, (n, n)), jnp.float32
+        )
+
+        @jax.jit
+        def chain(y, k):
+            return jax.lax.fori_loop(0, k, lambda i, y: y @ a, y)
+
+        y0 = jnp.ones((n, n), jnp.float32)
+        k_lo, k_hi = jnp.asarray(4), jnp.asarray(68)
+        np.asarray(chain(y0, k_lo))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(chain(y0, k_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chain(y0, k_hi))
+        t_hi = time.perf_counter() - t0
+        out["matmul_ms"] = round(1e3 * (t_hi - t_lo) / 64, 3)
+    except Exception as e:
+        note(f"probe matmul normalizer failed: {type(e).__name__}: {e}")
+    return out
 
 
 def section_hand(opts):
-    """Hand-module train step (primary / reduced / 720p / xla-fallback).
+    """Hand-module train step (reduced / 720p / xla-retry sections).
 
     gt_only builds the scene and saves the GT render without timing —
     run with force_cpu it pre-renders the GT on the host so the TPU
     attempts skip one tunnel compile each (the GT image is
     backend-agnostic; compile latency through the tunnel swings
-    20-900s per program between sessions)."""
+    20-900s per session)."""
     step, state, batch = build_workload(
         opts["backend"], opts["capacity"], opts["width"], opts["height"],
         opts["views"], gt=_load_gt(opts.get("gt_in")),
@@ -394,35 +496,87 @@ def section_hand(opts):
         np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
     if opts.get("gt_only"):
         return {"gt": "saved"}
-    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
-    return {"ips": round(ips, 3), "hbm_mb": peak_hbm_mb()}
+    ips, mem = time_iters(step, state, batch, opts["warmup"], opts["iters"],
+                          want_mem=opts.get("want_mem", False))
+    return {"ips": round(ips, 3), "hbm_mb": mem}
+
+
+def section_hand_chain(opts):
+    """Round-5 primary: pallas primary THEN the xla fallback in ONE child
+    on the SAME scene (the in-memory GT is reused — no second GT compile,
+    no second process startup). The primary result is flushed as a
+    partial line the moment it lands, so a timeout during the xla compile
+    cannot lose the headline number. On CPU the primary already IS the
+    xla backend, so the fallback leg is skipped (vs_baseline=1 by
+    construction in assemble())."""
+    step, state, batch = build_workload(
+        opts["backend"], opts["capacity"], opts["width"], opts["height"],
+        opts["views"], gt=_load_gt(opts.get("gt_in")),
+    )
+    if opts.get("gt_out"):
+        np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+    ips, mem = time_iters(step, state, batch, opts["warmup"], opts["iters"],
+                          want_mem=opts.get("want_mem", False))
+    results = {"pallas_ips": round(ips, 3), "prim_hbm": mem}
+    emit_partial(**results)
+    if opts["backend"] != "xla" and not opts.get("skip_xla"):
+        step2, state2, batch2 = build_workload(
+            "xla", opts["capacity"], opts["width"], opts["height"],
+            opts["views"], gt=batch["rgb"],
+        )
+        ips2, _ = time_iters(step2, state2, batch2, 1,
+                             max(opts["iters"] // 4, 2))
+        results["xla_ips"] = round(ips2, 3)
+        emit_partial(xla_ips=results["xla_ips"])
+    return results
 
 
 def section_flagship(opts):
     """Canonical train-CLI hand config: 131k gaussians, 512^2, 96^3 MANO
     voxel skinning grid resampled per step (part="voxel"); part="lpips"
     is the same config with the canonical VGG LPIPS loss on
-    (post-step-1000 behaviour) through the production conv engine. The
-    parts run as SEPARATE subprocesses so each gets its own timeout
-    window — the LPIPS step's compile alone carries ~30 Mosaic kernels.
-    Both reuse the host-pre-rendered GT (gt_in)."""
-    lpips_params = None
-    if opts.get("part") == "lpips":
+    (post-step-1000 behaviour) through the production conv engine;
+    part="both" chains them in one child (round 5) — same scene build,
+    one process startup, with the voxel number flushed as a partial line
+    before the ~30-Mosaic-kernel LPIPS compile starts. All parts reuse
+    the host-pre-rendered GT (gt_in)."""
+    part = opts.get("part", "voxel")
+    backend = "pallas" if not opts.get("force_cpu") else "xla"
+    gt = _load_gt(opts.get("gt_in"))
+    results = {}
+
+    if part in ("voxel", "both"):
+        step, state, batch = build_workload(
+            backend, opts["capacity"], opts["width"], opts["height"],
+            opts["views"], voxel_res=opts["voxel_res"], gt=gt,
+        )
+        if opts.get("gt_out"):
+            np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+        if opts.get("gt_only"):
+            return {"gt": "saved"}
+        gt = batch["rgb"]  # reuse for the lpips leg
+        ips, mem = time_iters(step, state, batch, opts["warmup"],
+                              opts["iters"],
+                              want_mem=opts.get("want_mem", False))
+        results["flag_ips"] = round(ips, 3)
+        results["flag_hbm"] = mem
+        emit_partial(**results)
+        del step, state, batch
+
+    if part in ("lpips", "both"):
         from manus_tpu.train.lpips import random_lpips_params
 
         lpips_params = random_lpips_params(0, arch="vgg")
-    step, state, batch = build_workload(
-        "pallas" if not opts.get("force_cpu") else "xla",
-        opts["capacity"], opts["width"], opts["height"],
-        opts["views"], voxel_res=opts["voxel_res"],
-        gt=_load_gt(opts.get("gt_in")), lpips_params=lpips_params,
-    )
-    if opts.get("gt_out"):
-        np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
-    if opts.get("gt_only"):
-        return {"gt": "saved"}
-    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
-    return {"ips": round(ips, 3), "hbm_mb": peak_hbm_mb()}
+        step, state, batch = build_workload(
+            backend, opts["capacity"], opts["width"], opts["height"],
+            opts["views"], voxel_res=opts["voxel_res"], gt=gt,
+            lpips_params=lpips_params,
+        )
+        ips, _ = time_iters(step, state, batch, opts["warmup"],
+                            opts["iters"])
+        results["flag_lpips_ips"] = round(ips, 3)
+        emit_partial(flag_lpips_ips=results["flag_lpips_ips"])
+    return results
 
 
 def section_object(opts):
@@ -430,7 +584,7 @@ def section_object(opts):
         opts["backend"], opts["capacity"], opts["width"], opts["height"],
         opts["views"],
     )
-    ips = time_iters(step, state, batch, opts["warmup"], opts["iters"])
+    ips, _ = time_iters(step, state, batch, opts["warmup"], opts["iters"])
     return {"ips": round(ips, 3)}
 
 
@@ -445,6 +599,7 @@ def _load_gt(path):
 SECTIONS = {
     "probe": section_probe,
     "hand": section_hand,
+    "hand_chain": section_hand_chain,
     "flagship": section_flagship,
     "object": section_object,
 }
@@ -470,35 +625,60 @@ def child_main(section: str, opts: dict) -> int:
 # ---------------------------------------------------------------------------
 
 
+def parse_child_output(out: str, fallback_error: str) -> dict:
+    """Scan a child's stdout for partial lines and the final result line.
+    Partials are merged under "partials" so a killed/timed-out chained
+    child still reports every measurement that completed."""
+    partials: dict = {}
+    final = None
+    for line in out.strip().splitlines():
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict) and "partial" in obj:
+            partials.update(obj["partial"])
+        elif isinstance(obj, dict) and "ok" in obj:
+            final = obj
+    if final is None:
+        final = {"ok": False, "error": fallback_error}
+    if partials:
+        final["partials"] = partials
+    return final
+
+
 def run_sub(section: str, opts: dict, timeout: float) -> dict:
     """Run one section in a FRESH subprocess. BENCH_r03's tail showed the
     in-process device context stays poisoned after the first failure
     (instant repeat failures after 60s sleeps); a new process gets a new
     tunnel connection. stderr passes straight through for the driver tail.
     The child handle is tracked so the signal handler can kill it (exact
-    PID) before exiting."""
+    PID) before exiting; the Popen+assignment is signal-masked so no kill
+    window can orphan a live TPU child (ADVICE r4)."""
     global _CURRENT_CHILD
     cmd = [sys.executable, os.path.abspath(__file__),
            "--section", section, "--opts", json.dumps(opts)]
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
-    _CURRENT_CHILD = proc
+    with _signals_blocked():
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        _CURRENT_CHILD = proc
+    timed_out = False
     try:
         out, _ = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
         proc.kill()
-        proc.communicate()
-        return {"ok": False, "error": f"timeout after {timeout:.0f}s",
-                "timed_out": True}
+        out, _ = proc.communicate()  # buffered pipe: partial lines survive
+        timed_out = True
     finally:
         _CURRENT_CHILD = None
-    for line in reversed(out.decode("utf-8", "replace")
-                         .strip().splitlines()):
-        try:
-            return json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-    return {"ok": False,
-            "error": f"child produced no JSON (rc={proc.returncode})"}
+    text = (out or b"").decode("utf-8", "replace")
+    if timed_out:
+        r = parse_child_output(text, f"timeout after {timeout:.0f}s")
+        r.update(ok=False, timed_out=True,
+                 error=f"timeout after {timeout:.0f}s")
+        return r
+    return parse_child_output(
+        text, f"child produced no JSON (rc={proc.returncode})"
+    )
 
 
 def assemble(st: dict) -> dict:
@@ -546,6 +726,11 @@ def assemble(st: dict) -> dict:
             "gaussians": st.get("capacity"),
             "resolution": [height, width],
             "peak_hbm_mb_primary": st.get("prim_hbm"),
+            "peak_hbm_mb_flagship": st.get("flag_hbm"),
+            # same-session device-throughput normalizer (chained 2048^2
+            # matmul, ms/iter): artifact numbers from different rounds are
+            # only comparable after dividing out this session factor
+            "session_probe_matmul_ms": st.get("probe_ms"),
             "device": st.get("device"),
             "errors": errors,
         },
@@ -555,19 +740,14 @@ def assemble(st: dict) -> dict:
 def orchestrate() -> dict:
     # Wall-clock budget: jit compile latency on the tunneled platform
     # swings between ~20s and ~900s per program session-to-session, and
-    # the driver runs bench under a finite window. The primary metric
-    # always runs; each optional section is skipped when the remaining
-    # budget can no longer plausibly cover its compiles. The default
-    # covers the full chain at the worst observed tunnel latency; if the
-    # driver's window is shorter, its kill signal flushes the snapshot
-    # (everything measured so far) as the JSON line.
-    # Calibrated against the r4_v4 hardware run (clear queue): primary
-    # lands ~t=540, the 720p compile alone is ~840s, flagship voxel/lpips
-    # ~760/~700s standalone — the full chain needs ~3200-3600s in a
-    # typical session. The driver-kill snapshot path makes a long budget
-    # safe: a shorter outer window just truncates the chain, it cannot
-    # lose the line.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3900"))
+    # the driver runs bench under a finite window. Round-5 calibration:
+    # the driver has now killed at ~1800s twice (BENCH_r03/r04), so the
+    # default PLANS for ~1650s — sections are ordered by decision value
+    # (primary+xla -> flagship voxel+lpips -> object -> 720p LAST) and
+    # chained children flush partial results, so a truncated chain keeps
+    # every number that landed. A longer window can be granted with
+    # BENCH_BUDGET_S; the driver-kill snapshot path stays as the backstop.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1650"))
     force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
 
     def remaining():
@@ -581,7 +761,8 @@ def orchestrate() -> dict:
                     timeout=max(60.0, min(240.0, remaining())))
         if r.get("ok"):
             probe = r["results"]
-            note(f"probe ok: backend={probe['backend']}")
+            note(f"probe ok: backend={probe['backend']} "
+                 f"matmul={probe.get('matmul_ms')}ms")
             break
         note(f"probe failed: {r.get('error')}")
         if attempt < 2 and remaining() > 150:
@@ -600,7 +781,8 @@ def orchestrate() -> dict:
     backend = "pallas" if on_tpu else "xla"
     _STATE.update(on_tpu=on_tpu, capacity=capacity, width=width,
                   height=height, views=views,
-                  device=(probe or {}).get("device"))
+                  device=(probe or {}).get("device"),
+                  probe_ms=(probe or {}).get("matmul_ms"))
 
     tmpdir = tempfile.mkdtemp(prefix="bench_gt_")
     gt_path = os.path.join(tmpdir, "gt_primary.npz")
@@ -615,7 +797,7 @@ def orchestrate() -> dict:
 
     # --- pre-render every section's GT on the HOST, in PARALLEL with the
     # TPU work: each saved GT removes one tunnel compile from its TPU
-    # section (compile queues measured 400-900s this round vs ~75-300s of
+    # section (compile queues measured 400-900s in round 4 vs ~75-300s of
     # host render). The CPU children run concurrently with the TPU
     # attempts — they contend for nothing.
     gt_jobs = _GT_JOBS  # module-level: the signal handler reaps these too
@@ -623,9 +805,10 @@ def orchestrate() -> dict:
     def spawn_gt(name, section, opts):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--section", section, "--opts", json.dumps(opts)]
-        gt_jobs[name] = subprocess.Popen(
-            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
-        )
+        with _signals_blocked():
+            gt_jobs[name] = subprocess.Popen(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            )
 
     def await_gt(name, path, timeout):
         p = gt_jobs.get(name)
@@ -643,12 +826,12 @@ def orchestrate() -> dict:
         spawn_gt("primary", "hand", dict(gt_cpu, capacity=capacity,
                                          width=width, height=height,
                                          gt_out=gt_path))
-        spawn_gt("hd", "hand", dict(gt_cpu, capacity=1 << 17, width=1280,
-                                    height=720, gt_out=gt_hd_path))
         spawn_gt("flag", "flagship", dict(gt_cpu, capacity=1 << 17,
                                           width=512, height=512,
-                                          voxel_res=96,
+                                          voxel_res=96, part="voxel",
                                           gt_out=gt_flag_path))
+        spawn_gt("hd", "hand", dict(gt_cpu, capacity=1 << 17, width=1280,
+                                    height=720, gt_out=gt_hd_path))
 
     have_gt = False
     if on_tpu and remaining() > 300:
@@ -657,10 +840,10 @@ def orchestrate() -> dict:
         note("primary GT pre-rendered on host" if have_gt
              else "host GT not ready; primary renders its own")
 
-    # --- primary: fixed cross-round workload, fresh process per attempt,
-    # growing backoff (VERDICT r3: 60s fixed sleeps + same process = two
-    # instant repeat failures) ---
-    prim = None
+    # --- primary chain: pallas primary + xla fallback in one fresh
+    # process per attempt, growing backoff. Partials recovered on timeout
+    # mean a kill during the xla leg keeps the primary number. ---
+    prim_ips = xla_ips = None
     for attempt in range(3):
         if remaining() < 90:
             errors.append("primary: budget exhausted before attempt "
@@ -668,13 +851,23 @@ def orchestrate() -> dict:
             break
         # cap at 1000s: the slowest observed tunnel compile of this
         # workload (one program with the host-side GT) was ~912s
-        r = run_sub("hand", dict(base, backend=backend, capacity=capacity,
-                                 width=width, height=height,
-                                 gt_out=gt_path,
-                                 gt_in=gt_path if have_gt else None),
+        r = run_sub("hand_chain",
+                    dict(base, backend=backend, capacity=capacity,
+                         width=width, height=height, gt_out=gt_path,
+                         want_mem=attempt == 0,
+                         gt_in=gt_path if have_gt else None),
                     timeout=max(90.0, min(remaining() - 30, 1000.0)))
+        got = dict(r.get("partials") or {})
         if r.get("ok"):
-            prim = r["results"]
+            got.update(r["results"])
+        _STATE.update({k: v for k, v in got.items() if v is not None})
+        prim_ips = _STATE.get("pallas_ips")
+        xla_ips = _STATE.get("xla_ips")
+        if r.get("ok") or (prim_ips and xla_ips):
+            break
+        if prim_ips:  # primary landed; only the xla leg is missing
+            errors.append(f"xla leg: {r.get('error')}")
+            note(f"primary landed, xla leg missed: {r.get('error')}")
             break
         errors.append(f"primary attempt {attempt + 1}: {r.get('error')}")
         note(f"primary attempt {attempt + 1} failed: {r.get('error')}")
@@ -685,50 +878,49 @@ def orchestrate() -> dict:
 
     # --- degradation ladder: reduced capacity on TPU, then CPU, so some
     # hardware-adjacent number always lands (loudly flagged) ---
-    if prim is None and on_tpu and remaining() > 120:
+    if prim_ips is None and on_tpu and remaining() > 120:
         note("degrading to reduced-capacity workload (16k gaussians, 256^2)")
         r = run_sub("hand", dict(base, backend=backend, capacity=1 << 14,
                                  width=256, height=256, iters=10),
                     timeout=max(90.0, min(remaining() - 30, 300.0)))
         if r.get("ok"):
-            prim = r["results"]
+            prim_ips = r["results"]["ips"]
             degraded = "tpu_16384g_256px"
         else:
             errors.append(f"reduced: {r.get('error')}")
-    if prim is None and remaining() > 60:
+    if prim_ips is None and remaining() > 60:
         note("degrading to CPU workload")
         r = run_sub("hand", {"force_cpu": True, "backend": "xla",
                              "capacity": 2048, "width": 128, "height": 128,
                              "views": 1, "warmup": 1, "iters": 3},
                     timeout=max(60.0, min(remaining() - 10, 240.0)))
         if r.get("ok"):
-            prim = r["results"]
+            prim_ips = r["results"]["ips"]
             degraded = "cpu_xla_2048g_128px"
         else:
             errors.append(f"cpu fallback: {r.get('error')}")
 
-    pallas_ips = prim["ips"] if prim else None
-    _STATE.update(pallas_ips=pallas_ips, degraded=degraded,
-                  prim_hbm=(prim or {}).get("hbm_mb"))
-    if pallas_ips:
+    _STATE.update(pallas_ips=prim_ips, degraded=degraded)
+    if prim_ips:
         note(f"hand {backend}{' [' + degraded + ']' if degraded else ''}: "
-             f"{pallas_ips:.1f} it/s")
-
-    # --- optional sections, PRIORITY order (VERDICT r2 item 2): the
-    # driver-tracked 720p and FLAGSHIP configs run before object/xla so a
-    # slow-compile session drops the optional numbers, not the headline.
-    hd_ips = flag_ips = flag_lpips_ips = obj_ips = xla_ips = None
-    healthy = prim is not None and degraded is None
+             f"{prim_ips:.1f} it/s"
+             + (f", xla fallback {xla_ips:.2f} it/s "
+                f"({prim_ips / xla_ips:.1f}x)" if xla_ips else ""))
+    healthy = prim_ips is not None and degraded is None
 
     def attempt_section(name, section, opts, min_budget, attempts=2,
-                        gt=None):
+                        gt=None, cap=1000.0, partial_keys=()):
         """Run an optional section with up to `attempts` fresh processes.
         The flagship/720p compiles swing 200-900s between sessions; a
         single timed-out attempt in a bad queue does not mean the next
         fresh process (often landing in a drained queue) will too. `gt`
         is a (job_name, path) pair: a host GT render that missed the
         first attempt's await is picked up by the retry instead of
-        burning a tunnel compile on a TPU-side GT render."""
+        burning a tunnel compile on a TPU-side GT render. `cap` bounds
+        each attempt (per-section: the 720p compile alone measured ~840s
+        on a CLEAR queue — ADVICE r4 #3). Partial results (chained
+        sections) merge into _STATE immediately; an attempt that lands
+        all `partial_keys` counts as success."""
         for k in range(attempts):
             if remaining() < min_budget:
                 if k == 0:
@@ -737,92 +929,108 @@ def orchestrate() -> dict:
             if gt and not opts.get("gt_in") and await_gt(gt[0], gt[1], 0.0):
                 opts = dict(opts, gt_in=gt[1])
             r = run_sub(section, opts,
-                        timeout=max(90.0, min(remaining() - 30, 900.0)))
+                        timeout=max(90.0, min(remaining() - 30, cap)))
+            got = dict(r.get("partials") or {})
             if r.get("ok"):
-                return r["results"]["ips"]
+                got.update(r["results"])
+            _STATE.update({k2: v for k2, v in got.items() if v is not None})
+            if r.get("ok"):
+                return r["results"]
+            if partial_keys and all(_STATE.get(k2) is not None
+                                    for k2 in partial_keys):
+                return got
             errors.append(f"{name} attempt {k + 1}: {r.get('error')}")
             note(f"{name} attempt {k + 1} failed: {r.get('error')}")
+            if got:
+                # something landed; retrying the whole chain would redo it
+                return got
             if k + 1 < attempts and remaining() > min_budget + 60:
                 time.sleep(60)  # a killed TPU child can wedge the chip briefly
         return None
 
-    if on_tpu and healthy and remaining() > 180:
-        hd_gt = await_gt("hd", gt_hd_path, min(remaining() * 0.2, 120.0))
-        hd_ips = attempt_section(
-            "720p", "hand",
-            dict(base, backend="pallas", capacity=1 << 17, width=1280,
-                 height=720, iters=max(iters // 2, 4),
-                 gt_in=gt_hd_path if hd_gt else None),
-            min_budget=180, gt=("hd", gt_hd_path))
-        _STATE["hd_ips"] = hd_ips
-        if hd_ips:
-            note(f"hand 720p: {hd_ips:.1f} it/s")
-    else:
-        note("skipping 720p (budget/health)")
-
+    # --- flagship chain (voxel + lpips in one child): the round's
+    # decision numbers, immediately after vs_baseline ---
     if on_tpu and healthy and remaining() > 200:
         flag_gt = await_gt("flag", gt_flag_path,
                            min(remaining() * 0.2, 120.0))
         flag_opts = dict(base, capacity=1 << 17, width=512, height=512,
                          voxel_res=96, iters=max(iters // 2, 4),
+                         part="both", want_mem=True,
                          gt_in=gt_flag_path if flag_gt else None)
-        flag_ips = attempt_section("flagship", "flagship",
-                                   dict(flag_opts, part="voxel"),
-                                   min_budget=200,
-                                   gt=("flag", gt_flag_path))
-        _STATE["flag_ips"] = flag_ips
-        if flag_ips:
-            note(f"flagship voxel: {flag_ips:.1f} it/s "
-                 f"({1e3 / flag_ips:.1f} ms/step)")
-        if flag_ips and remaining() > 150:
-            flag_lpips_ips = attempt_section("flagship lpips", "flagship",
-                                             dict(flag_opts, part="lpips"),
-                                             min_budget=150,
-                                             gt=("flag", gt_flag_path))
-            _STATE["flag_lpips_ips"] = flag_lpips_ips
-            if flag_lpips_ips:
-                note(f"flagship voxel + lpips: {flag_lpips_ips:.1f} it/s "
-                     f"({1e3 / flag_lpips_ips:.1f} ms/step)")
+        attempt_section("flagship", "flagship", flag_opts, min_budget=200,
+                        gt=("flag", gt_flag_path), cap=1000.0,
+                        partial_keys=("flag_ips", "flag_lpips_ips"))
+        if _STATE.get("flag_ips"):
+            note(f"flagship voxel: {_STATE['flag_ips']:.1f} it/s "
+                 f"({1e3 / _STATE['flag_ips']:.1f} ms/step)")
+        if _STATE.get("flag_lpips_ips"):
+            note(f"flagship voxel + lpips: "
+                 f"{_STATE['flag_lpips_ips']:.1f} it/s "
+                 f"({1e3 / _STATE['flag_lpips_ips']:.1f} ms/step)")
+        elif _STATE.get("flag_ips") and remaining() > 250:
+            # voxel landed but the lpips leg missed: one lpips-only retry
+            r = attempt_section(
+                "flagship lpips", "flagship",
+                dict(flag_opts, part="lpips"), min_budget=250, attempts=1,
+                gt=("flag", gt_flag_path), cap=900.0)
+            if _STATE.get("flag_lpips_ips"):
+                note(f"flagship voxel + lpips: "
+                     f"{_STATE['flag_lpips_ips']:.1f} it/s "
+                     f"({1e3 / _STATE['flag_lpips_ips']:.1f} ms/step)")
     else:
         note("skipping flagship (budget/health)")
 
-    # xla fallback BEFORE the object extra: it feeds the top-level
-    # vs_baseline. Entry gates at 240s — its compile measured ~270s, so a
-    # shorter window only burns budget on a doomed attempt (the r4_v4 run
-    # recorded exactly that: "object: timeout after 93s").
-    if on_tpu and healthy and remaining() > 240:
-        # reuse the primary's GT (same scene; saves the xla render compile)
+    # --- xla retry: only if the chain's xla leg missed (vs_baseline
+    # feeds off it). Reuses the primary GT; compile measured ~270s. ---
+    if (on_tpu and healthy and xla_ips is None
+            and _STATE.get("xla_ips") is None and remaining() > 300):
         r = run_sub("hand", dict(base, backend="xla", capacity=capacity,
                                  width=width, height=height,
                                  iters=max(iters // 4, 2), gt_in=gt_path),
                     timeout=max(90.0, min(remaining() - 20, 600.0)))
         if r.get("ok"):
-            xla_ips = r["results"]["ips"]
-            _STATE["xla_ips"] = xla_ips
-            note(f"xla fallback: {xla_ips:.2f} it/s")
+            _STATE["xla_ips"] = r["results"]["ips"]
+            note(f"xla fallback: {_STATE['xla_ips']:.2f} it/s")
         else:
-            errors.append(f"xla: {r.get('error')}")
-    else:
-        note("skipping xla fallback (budget/health)")
+            errors.append(f"xla retry: {r.get('error')}")
 
     if healthy and remaining() > 240:
         r = run_sub("object", dict(base, backend=backend, capacity=capacity,
                                    width=width, height=height),
                     timeout=max(90.0, min(remaining() - 30, 600.0)))
         if r.get("ok"):
-            obj_ips = r["results"]["ips"]
-            _STATE["obj_ips"] = obj_ips
-            note(f"object: {obj_ips:.1f} it/s")
+            _STATE["obj_ips"] = r["results"]["ips"]
+            note(f"object: {_STATE['obj_ips']:.1f} it/s")
         else:
             errors.append(f"object: {r.get('error')}")
     else:
         note("skipping object (budget/health)")
 
+    # --- 720p LAST (VERDICT r4 item 1): the most expensive compile
+    # (~840s on a clear queue) and the least decision-relevant number;
+    # it lands only when the session is fast enough to leave room ---
+    if on_tpu and healthy and remaining() > 300:
+        hd_gt = await_gt("hd", gt_hd_path, min(remaining() * 0.1, 60.0))
+        r = attempt_section(
+            "720p", "hand",
+            dict(base, backend="pallas", capacity=1 << 17, width=1280,
+                 height=720, iters=max(iters // 2, 4),
+                 gt_in=gt_hd_path if hd_gt else None),
+            min_budget=300, attempts=1, gt=("hd", gt_hd_path), cap=1000.0)
+        if r and r.get("ips"):
+            _STATE["hd_ips"] = r["ips"]
+            note(f"hand 720p: {r['ips']:.1f} it/s")
+    else:
+        note("skipping 720p (budget/health)")
+
     # reap any host GT renders that outlived their usefulness (CPU-only
     # children; killing them cannot wedge the tunnel)
-    for p in gt_jobs.values():
-        if p.poll() is None:
-            p.kill()
+    for p in list(gt_jobs.values()):
+        try:
+            if p.poll() is None:
+                p.kill()
+        except Exception:
+            pass
 
     return assemble(_STATE)
 
@@ -837,7 +1045,7 @@ def main() -> int:
         return child_main(sys.argv[i + 1], opts)
     # Orchestrator mode: a driver-side timeout kill (SIGTERM/SIGINT/HUP)
     # flushes the snapshot as the JSON line instead of dying silently.
-    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    for sig in _HANDLED_SIGS:
         try:
             signal.signal(sig, _emit_and_exit)
         except (ValueError, OSError):
@@ -850,9 +1058,10 @@ def main() -> int:
         _STATE.setdefault("errors", []).append(f"orchestrator: {err}")
         out = assemble(_STATE)
         out["error"] = err
-    if not _FINAL_EMITTED:
-        _FINAL_EMITTED = True
-        print(json.dumps(out), flush=True)
+    with _signals_blocked():
+        if not _FINAL_EMITTED:
+            print(json.dumps(out), flush=True)
+            _FINAL_EMITTED = True
     return 0
 
 

@@ -470,6 +470,12 @@ def make_train_step(
     def train_step(state: TrainState, batch):
         return _train_step(state, batch, voxel_grid)
 
+    # AOT hooks: bench.py compiles via _jitted.lower(state, batch,
+    # *_extra_args).compile() so the executable's memory_analysis() can
+    # report peak HBM (runtime memory_stats() returns nothing through the
+    # tunneled platform), then times the compiled callable directly.
+    train_step._jitted = _train_step
+    train_step._extra_args = (voxel_grid,)
     return train_step
 
 
