@@ -93,6 +93,14 @@ class LossConfig:
     # AlexNet; val_results.csv's lpips_mode column records which.
     lpips_eval_weights: str = ""
     lpips_fallback: bool = True
+    # The canonical hand config turns lpips_loss on past start_lpips_iter
+    # (reference base.py:333-341) — with PRETRAINED VGG features. Under
+    # the random-feature fallback that term is a random-projection
+    # feature loss with no evidence it helps, so the trainer strips it
+    # from the TRAINING loss (the val metric column stays live) unless
+    # this opt-in is set. Supplying real weights via lpips_weights makes
+    # the loss live again with no knob change. (VERDICT r4 item 3.)
+    lpips_random_in_loss: bool = False
     # OPT-IN perf knob (k>1 average-pools pred/gt kxk before the VGG;
     # reference runs LPIPS at full res — see losses.compute_losses)
     lpips_downsample: int = 1

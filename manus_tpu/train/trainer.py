@@ -10,6 +10,7 @@ special case), validation + checkpoint on their own intervals.
 from __future__ import annotations
 
 import csv
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -160,6 +161,32 @@ class Trainer:
                     cfg.loss.lpips_eval_weights, cfg.loss.lpips_fallback,
                     seed=cfg.trainer.seed, arch="alex",
                 )
+            )
+        # Random-feature LPIPS is NOT the reference loss (the reference
+        # trains against pretrained VGG features); without evidence the
+        # random-projection term helps, it defaults OFF in the training
+        # loss — the val METRIC stays live and provenance-tagged. Opt
+        # back in with loss.lpips_random_in_loss=true. The config
+        # snapshot (written before Trainer) keeps the user's intent; the
+        # strip applies to the compiled step only.
+        if (
+            "lpips_loss" in cfg.loss.losses
+            and self.lpips_mode.endswith("random-feature")
+            and not cfg.loss.lpips_random_in_loss
+        ):
+            keep = [i for i, nm in enumerate(cfg.loss.losses)
+                    if nm != "lpips_loss"]
+            cfg.loss = dataclasses.replace(
+                cfg.loss,
+                losses=tuple(cfg.loss.losses[i] for i in keep),
+                loss_weight=tuple(cfg.loss.loss_weight[i] for i in keep),
+            )
+            print(
+                "[lpips] lpips_loss REMOVED from the training loss: only "
+                "random-feature weights are available and "
+                "loss.lpips_random_in_loss is false (the val metric "
+                "column stays live). Supply pretrained weights "
+                "(loss.lpips_weights=...) to restore the reference loss."
             )
         self.train_step = make_train_step(
             cfg, dataset.extent, articulated, voxel_grid, mesh=self.mesh,
