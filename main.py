@@ -536,6 +536,15 @@ def main(argv=None):
         cfg.trainer.checkpoint_every = 0
         cfg.trainer.mode = "train"
 
+    if cfg.trainer.mode == "validate_data":
+        # device-free capture schema check: walk the real BRICS /
+        # MANUS-Grasps directory and report every contract violation
+        # before any training run touches the device. Nonzero exit code =
+        # error count (contracts: reference brics_dynamic.py:172-263,
+        # params.py:28-105).
+        from manus_tpu.data.validate import report, validate_capture
+
+        return report(validate_capture(cfg))
     if cfg.trainer.mode == "make_path":
         # in-repo camera-path generation (reference does this offline in
         # Blender, bl_render.py); writes the pkl contract render_path /

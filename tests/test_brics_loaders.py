@@ -269,3 +269,105 @@ def test_video_reader_selected_and_extract(fake_synced_dir, tmp_path):
     assert n == 4  # 2 cams x 2 frames
     img = cv2.imread(str(out / "cam000" / "000002.png"))
     assert img is not None and abs(float(img.mean()) - 80.0) < 8.0
+
+
+# ---------------------------------------------------------------------------
+# capture schema validator (trainer.mode=validate_data; VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_static_capture_clean_and_corrupted(fake_static_dir,
+                                                     tmp_path):
+    import shutil
+
+    from manus_tpu.data.validate import validate_static_capture
+
+    root, _ = fake_static_dir
+    clean = validate_static_capture(root, skip_cameras=())
+    assert not [s for s in clean if s.startswith("[error]")], clean
+    # the fixture has no NGP mesh -> exactly a warning, never an error
+    assert any("ngp_mesh" in s for s in clean)
+
+    # corrupt a copy: break a calibration quaternion, empty one camera
+    # dir, delete another, and write garbage rows
+    bad = tmp_path / "bad_static"
+    shutil.copytree(root, bad)
+    ptxt = bad / "calib" / "optim_params.txt"
+    rows = ptxt.read_text().splitlines()
+    parts = rows[0].split()
+    parts[12] = "9.0"  # qvecw: quaternion no longer unit-norm
+    rows[0] = " ".join(parts)
+    ptxt.write_text("\n".join(rows))
+    for f in (bad / "images" / "refined_seg" / "cam001").iterdir():
+        f.unlink()  # empty image dir
+    shutil.rmtree(bad / "images" / "refined_seg" / "cam002")
+
+    findings = validate_static_capture(str(bad), skip_cameras=())
+    errs = "\n".join(s for s in findings if s.startswith("[error]"))
+    assert "quaternion" in errs
+    assert "empty" in errs
+    assert "no image directory" in errs
+
+    # unparseable calibration reports instead of raising
+    ptxt.write_text("not a calibration file\nat all")
+    findings2 = validate_static_capture(str(bad), skip_cameras=())
+    assert any("do not parse" in s for s in findings2)
+
+
+def test_validate_dynamic_capture_clean_and_corrupted(fake_dynamic_h5,
+                                                      tmp_path):
+    import shutil
+
+    from manus_tpu.data.validate import validate_dynamic_capture
+
+    root, ref_ds = fake_dynamic_h5
+    nb = ref_ds.bones_rest.num_bones
+    clean = validate_dynamic_capture(root, width=W, height=H, n_bones=nb,
+                                     frames_per_action=-1)
+    assert not [s for s in clean if s.startswith("[error]")], clean
+
+    bad = tmp_path / "bad_dyn"
+    os.makedirs(bad)
+    shutil.copy(os.path.join(root, "grasp_action.hdf5"),
+                bad / "grasp_action.hdf5")
+    with h5py.File(bad / "grasp_action.hdf5", "r+") as f:
+        del f["frames"]["0"]["metadata"]["rest_heads"]  # missing md key
+        del f["frames"]["1"]["bbox"]["cam000"]
+        f["frames"]["1"]["bbox"].create_dataset(
+            "cam000", data=np.asarray([10, 0, 5, H])  # xmin > xmax
+        )
+        del f["K"]["cam002"]  # K/extr camera sets now differ
+        del f["frames"]["2"]["images"]  # whole images group gone
+
+    findings = validate_dynamic_capture(str(bad), width=W, height=H,
+                                        n_bones=nb, frames_per_action=-1)
+    errs = "\n".join(s for s in findings if s.startswith("[error]"))
+    assert "missing keys" in errs and "rest_heads" in errs
+    assert "outside the" in errs  # bad bbox
+    assert "K/extr camera sets differ" in errs
+    assert "missing 'images'" in errs
+
+    # a non-HDF5 byte blob must report, not raise
+    (bad / "junk.hdf5").write_bytes(b"this is not hdf5")
+    findings2 = validate_dynamic_capture(str(bad), width=W, height=H,
+                                         n_bones=nb)
+    assert any("unreadable HDF5" in s for s in findings2)
+
+
+def test_validate_data_cli_mode(fake_static_dir, tmp_path, monkeypatch):
+    """main.py trainer.mode=validate_data returns the error count as the
+    exit code and never touches the device."""
+    import main as main_mod
+
+    root, _ = fake_static_dir
+    rc = main_mod.main([
+        "--config-name", "OBJ_GAUSSIAN",
+        "dataset.kind=brics_static", f"dataset.root={root}",
+        "trainer.mode=validate_data",
+        "trainer.exp_name=validate_smoke",
+        f"trainer.output_dir={tmp_path}",
+    ])
+    # the fixture cameras are cam000..cam004 (not in the BRICS skip
+    # list), so the default skip set removes nothing and the capture is
+    # clean
+    assert rc == 0
