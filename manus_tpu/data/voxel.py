@@ -18,6 +18,7 @@ import os
 import pickle
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -125,6 +126,62 @@ def build_voxel_grid(
         weights=jnp.asarray(weights),
         brick=maybe_brick_table(weights),
     )
+
+
+def mano_skin_weights_20(mano: dict) -> np.ndarray:
+    """MANO's per-vertex [778, 16] joint weights remapped onto the 20-bone
+    capture rig and renormalized (reference train_utils.py:68 uses the
+    same column mapping for the voxel grid; several rig bones share one
+    MANO joint column, so rows must be rescaled to stay a convex blend)."""
+    w = np.asarray(mano["weights"], np.float32)[:, MANO_TO_OURS]  # [778, 20]
+    return w / np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+
+
+def pose_mano_verts(
+    mano: dict,
+    pose_transforms: np.ndarray,  # [20, 4, 4] per-frame bone transforms
+    rest_transforms: np.ndarray,  # [20, 4, 4] rest bone transforms
+) -> np.ndarray:
+    """LBS-pose the MANO rest mesh with captured per-frame bone transforms.
+
+    In-repo replacement for the reference's manopth producer
+    (/root/reference/scripts/dataset_helpers/load_videos.py:131: ManoLayer
+    use_pca=True, ncomps=30 poses MANO from fitted PCA params to generate
+    the baseline meshes mano_contacts.py consumes). The MANO model file
+    (shapedirs/posedirs/hands_components) is not shipped offline, but the
+    capture metadata already carries the fitted per-frame bone transforms
+    (pose_matrixs/rest_matrixs), so the posed mesh is recovered by
+    blending the SAME rest->posed deformation transforms the hand module
+    skins with, using MANO's own vertex weights (16->20 remap). Known
+    deviation: no pose-corrective blendshapes (posedirs needs the MANO
+    model file) — mm-scale near joint creases, below the 4mm contact
+    threshold the baseline chain consumes this mesh at.
+    """
+    from manus_tpu.ops.skinning import bone_deformation_transforms
+
+    w = jnp.asarray(mano_skin_weights_20(mano))  # [778, 20]
+    tf_bones = bone_deformation_transforms(
+        jnp.asarray(pose_transforms, jnp.float32),
+        jnp.asarray(rest_transforms, jnp.float32),
+    )  # [20, 4, 4]
+    tf = jnp.matmul(
+        w, tf_bones.reshape(-1, 16), precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1, 4, 4)  # [778, 4, 4]
+    v = jnp.asarray(mano["verts"], jnp.float32)
+    posed = jnp.einsum("nij,nj->ni", tf[:, :3, :3], v) + tf[:, :3, 3]
+    return np.asarray(posed, np.float32)
+
+
+def pose_mano_sequence(mano: dict, bones_posed, bones_rest) -> list:
+    """Posed MANO meshes for every captured frame — the posed_verts_seq
+    input of train/baselines.mano_baseline_contacts. `bones_posed` is the
+    per-frame Bones list a BricsDynamicDataset exposes; `bones_rest` its
+    rest Bones."""
+    rest_tf = np.asarray(bones_rest.transforms)
+    return [
+        pose_mano_verts(mano, np.asarray(b.transforms), rest_tf)
+        for b in bones_posed
+    ]
 
 
 def visualize_skin_weights(skin_weights: np.ndarray, seed: int = 0) -> np.ndarray:

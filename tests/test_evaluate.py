@@ -372,3 +372,69 @@ def test_camera_rig_lineset(tmp_path):
     np.testing.assert_allclose(rpts, pts, atol=1e-6)
     np.testing.assert_array_equal(redges, edges)
     assert rcols.shape == (32, 3)
+
+
+def test_pose_mano_verts_and_baseline_chain(tmp_path):
+    """VERDICT r4 item 7 — in-repo posed MANO: LBS-posing the rest mesh
+    with captured bone transforms replaces the manopth producer
+    (load_videos.py:131). Rigid-motion exactness + one-hot weight
+    tracking, then the posed sequence feeds the contact baseline chain."""
+    from scipy.spatial.transform import Rotation
+
+    from manus_tpu.data.voxel import (
+        mano_skin_weights_20,
+        pose_mano_sequence,
+        pose_mano_verts,
+    )
+    from manus_tpu.train.baselines import mano_baseline_contacts
+    from manus_tpu.utils.structures import Bones
+
+    rng = np.random.RandomState(0)
+    nv = 24
+    verts = rng.uniform(-0.1, 0.1, (nv, 3)).astype(np.float32)
+    faces = np.stack([np.arange(nv - 2), np.arange(1, nv - 1),
+                      np.arange(2, nv)], axis=1).astype(np.int32)
+    # MANO-like dict: 16 weight columns, random convex rows
+    w16 = rng.dirichlet(np.ones(16) * 0.3, size=nv).astype(np.float32)
+    mano = dict(verts=verts, faces=faces, weights=w16)
+
+    w20 = mano_skin_weights_20(mano)
+    assert w20.shape == (nv, 20)
+    np.testing.assert_allclose(w20.sum(1), 1.0, atol=1e-5)
+
+    # rigid case: every bone gets the SAME rest->posed motion -> the LBS
+    # blend must reproduce the rigid transform exactly
+    rest_tf = np.tile(np.eye(4, dtype=np.float32), (20, 1, 1))
+    R = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    t = np.asarray([0.05, -0.1, 0.2])
+    pose_tf = np.tile(np.eye(4, dtype=np.float32), (20, 1, 1))
+    pose_tf[:, :3, :3] = R
+    pose_tf[:, :3, 3] = t
+    posed = pose_mano_verts(mano, pose_tf, rest_tf)
+    np.testing.assert_allclose(posed, verts @ R.T + t, atol=1e-5)
+
+    # one-hot case: a vertex fully bound to MANO column 5 follows OUR
+    # bone(s) mapped from column 5 (MANO_TO_OURS[10] == 5) exactly
+    w_hot = np.zeros((1, 16), np.float32)
+    w_hot[0, 5] = 1.0
+    mano_hot = dict(verts=verts[:1], faces=faces[:1], weights=w_hot)
+    pose_tf2 = np.tile(np.eye(4, dtype=np.float32), (20, 1, 1))
+    pose_tf2[10, :3, 3] = [0.0, 0.0, 0.3]  # move only our bone 10
+    posed_hot = pose_mano_verts(mano_hot, pose_tf2, rest_tf)
+    np.testing.assert_allclose(posed_hot, verts[:1] + [0, 0, 0.3],
+                               atol=1e-5)
+
+    # sequence convenience consumes the dataset's Bones pytrees, and the
+    # posed meshes run through the contact baseline chain end-to-end
+    mk = lambda tf: Bones(
+        heads=np.zeros((20, 3), np.float32),
+        tails=np.ones((20, 3), np.float32), transforms=np.asarray(tf),
+    )
+    seq = pose_mano_sequence(mano, [mk(pose_tf), mk(pose_tf2)], mk(rest_tf))
+    assert len(seq) == 2 and seq[0].shape == (nv, 3)
+    obj = (seq[0][:1] + np.asarray([[0.001, 0, 0]])).astype(np.float32)
+    acc = mano_baseline_contacts(
+        verts, faces, seq, obj, str(tmp_path), subdiv_iters=1,
+    )
+    assert acc[0] > 0  # contact registered at the posed vertex
+    assert os.path.exists(os.path.join(str(tmp_path), "gt_eval", "0.ply"))
