@@ -136,6 +136,18 @@ class RasterOptions:
     # of N (binning.py step 1). Multis beyond it keep top-left-cell
     # coverage only (overflow-counted). 1.0 = no capacity pressure.
     multi_frac: float = 1.0
+    # Composite work split across the gauss mesh axis (api.py):
+    #   owner     — static dealt-diagonal TILE ownership; bit-exact vs
+    #               single device, but a clustered scene whose pairs
+    #               concentrate in a few tiles cannot balance (a dense
+    #               tile is indivisible);
+    #   pairslice — each column composites an equal contiguous slice of
+    #               the depth-sorted global pair array and the partial
+    #               (rgb, T) segments over-compose across columns:
+    #               near-perfect pair balance on ANY occupancy, at the
+    #               cost of ~1e-4-bounded deviation at the transmittance
+    #               termination boundary (not bit-exact).
+    tile_shard_mode: str = "owner"
 
 
 @dataclasses.dataclass

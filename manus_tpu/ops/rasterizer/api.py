@@ -44,6 +44,11 @@ class RasterConfig(NamedTuple):
     # static capacity for multi-tile gaussians in the two-tier binning
     # expansion, x N (binning.py); 1.0 = every gaussian may be multi
     multi_frac: float = 1.0
+    # gauss-axis composite split: "owner" (static tile ownership,
+    # bit-exact) | "pairslice" (equal pair-slice per column + associative
+    # segment combine — balanced on clustered scenes, ~1e-4 deviation at
+    # the termination boundary). See config.RasterOptions.
+    tile_shard_mode: str = "owner"
 
 
 class RenderOutput(NamedTuple):
@@ -193,9 +198,15 @@ def render_gaussians(
         # a few adjacent tiles, so contiguous blocks — and stripe-prone
         # flat round-robin — put most pairs on one column; SURVEY §5.7).
         # Outputs are gathered and un-permuted to global tile order below.
+        pairslice = (
+            gauss_axis is not None
+            and gauss_axis_size > 1
+            and config.tile_shard_mode == "pairslice"
+        )
         shard_tiles = (
             gauss_axis is not None
             and gauss_axis_size > 1
+            and not pairslice
             and num_tiles % gauss_axis_size == 0
         )
         bins = bin_gaussians(
@@ -206,6 +217,41 @@ def render_gaussians(
             tile_owner_axis=gauss_axis if shard_tiles else None,
             num_owners=gauss_axis_size if shard_tiles else 1,
         )
+        if pairslice:
+            # Pair-slice split (SURVEY §5.7 load-balance hard part, the
+            # rebalance for clustered scenes): the depth-sorted global
+            # pair array is cut into gauss_axis_size EQUAL contiguous
+            # slices; each column payload-gathers and composites only its
+            # slice (a tile whose segment straddles a cut appears in
+            # several columns with partial depth ranges), and the
+            # per-tile (rgb, T) partials over-compose across columns in
+            # axis order below — the over operator is associative, and
+            # slice order == depth order within every tile. Work per
+            # column ≈ pairs/n regardless of tile occupancy; the tile
+            # grid itself is not partitioned (empty/foreign tiles have
+            # count 0 and hit the kernels' empty-tile skip).
+            col = jax.lax.axis_index(gauss_axis)
+            p = bins.pair_src.shape[0]
+            # slice width rounded up to the lane alignment: the Pallas
+            # composite DMAs chunk windows at 128-aligned offsets, so the
+            # payload's last dim must stay a lane_align multiple
+            la = max(config.lane_align, 1)
+            s = -(-(-(-p // gauss_axis_size)) // la) * la
+            pad = s * gauss_axis_size - p
+            src_pad = bins.pair_src if pad == 0 else jnp.concatenate(
+                [bins.pair_src, jnp.full((pad,), -1, jnp.int32)]
+            )
+            start = col * s
+            src_local = jax.lax.dynamic_slice_in_dim(src_pad, start, s)
+            off_local = jnp.clip(bins.tile_offsets - start, 0, s)
+            end_local = jnp.clip(
+                bins.tile_offsets + bins.tile_counts - start, 0, s
+            )
+            bins = bins._replace(
+                pair_src=src_local,
+                tile_offsets=off_local,
+                tile_counts=end_local - off_local,
+            )
         pay = payload_mod.build_payload(
             proj, colors, opacity, bins, config.tg_max
         )
@@ -235,6 +281,34 @@ def render_gaussians(
             )
         else:
             raise ValueError(f"unknown backend {backend}")
+        if pairslice:
+            # Ordered over-compose of the per-column partial segments:
+            # column order == global pair order == depth order within
+            # every tile, and (rgb, T) composition is associative
+            # (out = rgb_a + T_a * rgb_b, T = T_a * T_b). The 1e-4
+            # transmittance termination is applied at slice granularity
+            # (a later column's contribution is dropped once the running
+            # T has crossed it) — the in-kernel mid-slice cut cannot be
+            # reproduced across columns, so pairslice deviates from the
+            # bit-exact single-device image by at most ~1e-4-weighted
+            # contributions (documented in RasterConfig).
+            rgb_parts = jax.lax.all_gather(rgb_tiles, gauss_axis)
+            t_parts = jax.lax.all_gather(t_tiles, gauss_axis)
+
+            def comb(carry, xs):
+                rgb_c, t_c = carry
+                r2, t2 = xs
+                go = t_c > 1e-4
+                rgb_c = rgb_c + jnp.where(
+                    go[:, None, :], t_c[:, None, :] * r2, 0.0
+                )
+                t_c = jnp.where(go, t_c * t2, t_c)
+                return (rgb_c, t_c), None
+
+            (rgb_tiles, t_tiles), _ = jax.lax.scan(
+                comb, (rgb_parts[0], t_parts[0]),
+                (rgb_parts[1:], t_parts[1:]),
+            )
         if shard_tiles:
             rgb_tiles = jax.lax.all_gather(rgb_tiles, gauss_axis, tiled=True)
             t_tiles = jax.lax.all_gather(t_tiles, gauss_axis, tiled=True)

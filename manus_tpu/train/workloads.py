@@ -141,6 +141,7 @@ def make_raster_config(cfg: ExperimentConfig) -> RasterConfig:
         lane_align=cfg.raster.lane_align,
         pair_budget_factor=cfg.raster.pair_budget_factor,
         multi_frac=cfg.raster.multi_frac,
+        tile_shard_mode=cfg.raster.tile_shard_mode,
     )
 
 

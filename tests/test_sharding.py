@@ -203,3 +203,48 @@ def test_multihost_scaffolding_single_process():
     assert mesh.devices.shape == (4, 2)
     idx = process_local_batch_indices(8, mesh)
     np.testing.assert_array_equal(idx, np.arange(8))
+
+
+def test_pairslice_gauss4_matches_plain(hand_setup):
+    """raster.tile_shard_mode=pairslice (VERDICT r4 item 4 rebalance):
+    each gauss column composites an equal slice of the depth-sorted pair
+    array and the partial segments over-compose across columns. Not
+    bit-exact (termination is applied at slice granularity, ~1e-4
+    bound), so tolerances are one notch looser than the owner-mode
+    tests — but the full train step (loss, params, densify stats) must
+    still agree with single-device."""
+    import copy
+
+    from manus_tpu.train.workloads import make_train_step
+
+    tr = hand_setup
+    batch = tr.sample_batch()
+    state1, metrics1 = tr.train_step(tr.state, batch)
+
+    cfg = copy.deepcopy(tr.cfg)
+    cfg.raster = dataclasses.replace(cfg.raster, tile_shard_mode="pairslice")
+    mesh = make_mesh(n_data=2, n_gauss=4)
+    sharded_step = make_train_step(
+        cfg, tr.dataset.extent, articulated=True, voxel_grid=None,
+        mesh=mesh,
+    )
+    with mesh:
+        state_r = replicate_state(tr.state, mesh)
+        batch_r = shard_batch(batch, mesh)
+        state_ps, metrics_ps = sharded_step(state_r, batch_r)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_ps["loss"]), rtol=1e-4
+    )
+    for name in ("opacity", "xyz", "scaling"):
+        a = np.asarray(getattr(state1.model.params, name))
+        b = np.asarray(getattr(state_ps.model.params, name))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=f"param mismatch: {name}")
+    np.testing.assert_allclose(
+        np.asarray(state1.stats.grad_accum),
+        np.asarray(state_ps.stats.grad_accum), atol=1e-4,
+    )
+    # binning runs unsharded in pairslice mode -> overflow totals global
+    assert int(metrics_ps["pair_overflow"]) == int(metrics1["pair_overflow"])
