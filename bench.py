@@ -465,16 +465,21 @@ def section_probe(opts):
         def chain(y, k):
             return jax.lax.fori_loop(0, k, lambda i, y: y @ a, y)
 
+        # the timed region must dwarf the 40-80ms tunnel readback noise:
+        # 4096 iters x ~50-900us each = 0.2-4s. 64-iter versions measured
+        # NEGATIVE repeatedly (round-5 probes).
         y0 = jnp.ones((n, n), jnp.float32)
-        k_lo, k_hi = jnp.asarray(4), jnp.asarray(68)
+        k_lo, k_hi = jnp.asarray(64), jnp.asarray(64 + 4096)
         np.asarray(chain(y0, k_lo))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(chain(y0, k_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(chain(y0, k_hi))
-        t_hi = time.perf_counter() - t0
-        out["matmul_ms"] = round(1e3 * (t_hi - t_lo) / 64, 3)
+        t_lo = t_hi = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(chain(y0, k_lo))
+            t_lo = min(t_lo or 1e9, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(chain(y0, k_hi))
+            t_hi = min(t_hi or 1e9, time.perf_counter() - t0)
+        out["matmul_ms"] = round(1e3 * (t_hi - t_lo) / 4096, 4)
     except Exception as e:
         note(f"probe matmul normalizer failed: {type(e).__name__}: {e}")
     return out
