@@ -758,6 +758,37 @@ def orchestrate() -> dict:
     def remaining():
         return budget_s - (time.perf_counter() - _T0)
 
+    tmpdir = tempfile.mkdtemp(prefix="bench_gt_")
+    gt_path = os.path.join(tmpdir, "gt_primary.npz")
+    gt_hd_path = os.path.join(tmpdir, "gt_720p.npz")
+    gt_flag_path = os.path.join(tmpdir, "gt_flagship.npz")
+    gt_jobs = _GT_JOBS  # module-level: the signal handler reaps these too
+
+    def spawn_gt(name, section, opts):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--section", section, "--opts", json.dumps(opts)]
+        with _signals_blocked():
+            gt_jobs[name] = subprocess.Popen(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            )
+
+    # --- pre-render every section's GT on the HOST, at t=0 and in
+    # PARALLEL with the device probe (CPU children touch no device):
+    # each saved GT removes one tunnel compile from its TPU section, and
+    # in a wedged-queue session the probe retries alone can eat 400-700s
+    # that the host renders now overlap (observed round 5).
+    if not force_cpu:
+        tpu_w = {"capacity": 1 << 16, "width": 512, "height": 512}
+        gt_cpu = {"force_cpu": True, "backend": "xla", "views": 1,
+                  "warmup": 0, "iters": 0, "gt_only": True}
+        spawn_gt("primary", "hand", dict(gt_cpu, **tpu_w, gt_out=gt_path))
+        spawn_gt("flag", "flagship", dict(gt_cpu, capacity=1 << 17,
+                                          width=512, height=512,
+                                          voxel_res=96, part="voxel",
+                                          gt_out=gt_flag_path))
+        spawn_gt("hd", "hand", dict(gt_cpu, capacity=1 << 17, width=1280,
+                                    height=720, gt_out=gt_hd_path))
+
     # --- device probe (retry; a SIGKILLed predecessor can wedge the chip
     # for a minute or two — CLAUDE.md) ---
     probe = None
@@ -770,7 +801,9 @@ def orchestrate() -> dict:
                  f"matmul={probe.get('matmul_ms')}ms")
             break
         note(f"probe failed: {r.get('error')}")
-        if attempt < 2 and remaining() > 150:
+        # a timed-out attempt already waited its full window; only
+        # non-timeout failures (wedged chip after a SIGKILL) back off
+        if attempt < 2 and remaining() > 150 and not r.get("timed_out"):
             time.sleep(30 * (attempt + 1))
     on_tpu = (probe or {}).get("backend") == "tpu"
     if probe is None:
@@ -789,31 +822,12 @@ def orchestrate() -> dict:
                   device=(probe or {}).get("device"),
                   probe_ms=(probe or {}).get("matmul_ms"))
 
-    tmpdir = tempfile.mkdtemp(prefix="bench_gt_")
-    gt_path = os.path.join(tmpdir, "gt_primary.npz")
-    gt_hd_path = os.path.join(tmpdir, "gt_720p.npz")
-    gt_flag_path = os.path.join(tmpdir, "gt_flagship.npz")
     base = {"force_cpu": force_cpu, "views": views,
             "warmup": warmup, "iters": iters}
 
     errors = []
     degraded = None
     _STATE["errors"] = errors  # same list object: mutations land in the snapshot
-
-    # --- pre-render every section's GT on the HOST, in PARALLEL with the
-    # TPU work: each saved GT removes one tunnel compile from its TPU
-    # section (compile queues measured 400-900s in round 4 vs ~75-300s of
-    # host render). The CPU children run concurrently with the TPU
-    # attempts — they contend for nothing.
-    gt_jobs = _GT_JOBS  # module-level: the signal handler reaps these too
-
-    def spawn_gt(name, section, opts):
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--section", section, "--opts", json.dumps(opts)]
-        with _signals_blocked():
-            gt_jobs[name] = subprocess.Popen(
-                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
-            )
 
     def await_gt(name, path, timeout):
         p = gt_jobs.get(name)
@@ -824,19 +838,6 @@ def orchestrate() -> dict:
         except subprocess.TimeoutExpired:
             return False
         return p.returncode == 0 and os.path.exists(path)
-
-    if on_tpu:
-        gt_cpu = {"force_cpu": True, "backend": "xla", "views": views,
-                  "warmup": 0, "iters": 0, "gt_only": True}
-        spawn_gt("primary", "hand", dict(gt_cpu, capacity=capacity,
-                                         width=width, height=height,
-                                         gt_out=gt_path))
-        spawn_gt("flag", "flagship", dict(gt_cpu, capacity=1 << 17,
-                                          width=512, height=512,
-                                          voxel_res=96, part="voxel",
-                                          gt_out=gt_flag_path))
-        spawn_gt("hd", "hand", dict(gt_cpu, capacity=1 << 17, width=1280,
-                                    height=720, gt_out=gt_hd_path))
 
     have_gt = False
     if on_tpu and remaining() > 300:
