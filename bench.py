@@ -495,10 +495,11 @@ def section_hand(opts):
     20-900s per session)."""
     step, state, batch = build_workload(
         opts["backend"], opts["capacity"], opts["width"], opts["height"],
-        opts["views"], gt=_load_gt(opts.get("gt_in")),
+        opts["views"], gt=_load_gt(opts.get("gt_in"),
+                                   opts.get("gt_wait", 0.0)),
     )
     if opts.get("gt_out"):
-        np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+        _save_gt(opts["gt_out"], batch["rgb"])
     if opts.get("gt_only"):
         return {"gt": "saved"}
     ips, mem = time_iters(step, state, batch, opts["warmup"], opts["iters"],
@@ -516,13 +517,15 @@ def section_hand_chain(opts):
     construction in assemble())."""
     step, state, batch = build_workload(
         opts["backend"], opts["capacity"], opts["width"], opts["height"],
-        opts["views"], gt=_load_gt(opts.get("gt_in")),
+        opts["views"], gt=_load_gt(opts.get("gt_in"),
+                                   opts.get("gt_wait", 0.0)),
     )
     if opts.get("gt_out"):
-        np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+        _save_gt(opts["gt_out"], batch["rgb"])
     ips, mem = time_iters(step, state, batch, opts["warmup"], opts["iters"],
                           want_mem=opts.get("want_mem", False))
     results = {"pallas_ips": round(ips, 3), "prim_hbm": mem}
+    note(f"primary landed in child: {results['pallas_ips']} it/s")
     emit_partial(**results)
     if opts["backend"] != "xla" and not opts.get("skip_xla"):
         step2, state2, batch2 = build_workload(
@@ -547,7 +550,7 @@ def section_flagship(opts):
     the host-pre-rendered GT (gt_in)."""
     part = opts.get("part", "voxel")
     backend = "pallas" if not opts.get("force_cpu") else "xla"
-    gt = _load_gt(opts.get("gt_in"))
+    gt = _load_gt(opts.get("gt_in"), opts.get("gt_wait", 0.0))
     results = {}
 
     if part in ("voxel", "both"):
@@ -556,7 +559,7 @@ def section_flagship(opts):
             opts["views"], voxel_res=opts["voxel_res"], gt=gt,
         )
         if opts.get("gt_out"):
-            np.savez(opts["gt_out"], gt=np.asarray(batch["rgb"]))
+            _save_gt(opts["gt_out"], batch["rgb"])
         if opts.get("gt_only"):
             return {"gt": "saved"}
         gt = batch["rgb"]  # reuse for the lpips leg
@@ -593,12 +596,57 @@ def section_object(opts):
     return {"ips": round(ips, 3)}
 
 
-def _load_gt(path):
-    if path and os.path.exists(path):
-        import jax.numpy as jnp
+def section_tpu_all(opts):
+    """Round-5 main TPU chain: primary+xla -> flagship voxel+lpips ->
+    object, ALL in one child that the orchestrator gives the whole
+    remaining budget. Per-section timeout guessing lost the flagship two
+    validation runs in a row (the orchestrator cannot know whether this
+    session's compiles take 250s or 900s); with partial-result lines the
+    right policy is one child, one big window — whatever lands before
+    the window closes is kept. The primary raising aborts the chain
+    (device errors poison the process context; the orchestrator's
+    degradation ladder takes over in fresh processes); later sections
+    fail independently (err_* partials surface in the artifact's error
+    list) and the orchestrator can re-attempt the missing ones."""
+    results = dict(section_hand_chain(opts["primary"]))
+    for name, key in (("flagship", None), ("object", "obj_ips")):
+        try:
+            if name == "flagship":
+                r = section_flagship(opts["flagship"])
+            else:
+                r = {"obj_ips": section_object(opts["object"])["ips"]}
+                emit_partial(**r)
+                note(f"object landed in child: {r['obj_ips']} it/s")
+            results.update(r)
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            note(f"tpu_all {name} failed: {msg}")
+            emit_partial(**{f"err_{name}": msg})
+    return results
 
-        return jnp.asarray(np.load(path)["gt"])
-    return None
+
+def _load_gt(path, wait_s: float = 0.0):
+    """Load a host-pre-rendered GT npz. wait_s > 0 polls for a file still
+    being produced by the parallel CPU render job (rendering on the TPU
+    instead costs a full tunnel compile, so waiting a few minutes is the
+    cheaper branch). Writers use _save_gt (atomic), so an existing file
+    is always complete."""
+    if not path:
+        return None
+    t0 = time.perf_counter()
+    while not os.path.exists(path):
+        if time.perf_counter() - t0 >= wait_s:
+            return None
+        time.sleep(5.0)
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.load(path)["gt"])
+
+
+def _save_gt(path, arr) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, gt=np.asarray(arr))
+    os.replace(tmp, path)
 
 
 SECTIONS = {
@@ -607,6 +655,7 @@ SECTIONS = {
     "hand_chain": section_hand_chain,
     "flagship": section_flagship,
     "object": section_object,
+    "tpu_all": section_tpu_all,
 }
 
 
@@ -846,41 +895,75 @@ def orchestrate() -> dict:
         note("primary GT pre-rendered on host" if have_gt
              else "host GT not ready; primary renders its own")
 
-    # --- primary chain: pallas primary + xla fallback in one fresh
-    # process per attempt, growing backoff. Partials recovered on timeout
-    # mean a kill during the xla leg keeps the primary number. ---
-    prim_ips = xla_ips = None
-    for attempt in range(3):
-        if remaining() < 90:
-            errors.append("primary: budget exhausted before attempt "
-                          f"{attempt + 1}")
-            break
-        # cap at 1000s: the slowest observed tunnel compile of this
-        # workload (one program with the host-side GT) was ~912s
+    # --- main TPU chain: ONE child (primary+xla -> flagship voxel+lpips
+    # -> object) holding the whole remaining window minus a small
+    # reserve. Two round-5 validation runs proved that per-section
+    # timeout splitting loses the flagship whenever the session's
+    # compile latency lands on the wrong side of a guess; with partial
+    # lines, whatever completes before the window closes is kept, and
+    # the orchestrator only patches holes afterwards. ---
+    prim_ips = None
+    if on_tpu:
+        opts_all = {
+            "primary": dict(base, backend=backend, capacity=capacity,
+                            width=width, height=height, gt_out=gt_path,
+                            want_mem=True,
+                            gt_in=gt_path if have_gt else None),
+            "flagship": dict(base, capacity=1 << 17, width=512,
+                             height=512, voxel_res=96,
+                             iters=max(iters // 2, 4), part="both",
+                             want_mem=True, gt_in=gt_flag_path,
+                             gt_wait=300.0),
+            "object": dict(base, backend=backend, capacity=capacity,
+                           width=width, height=height),
+        }
+        r = run_sub("tpu_all", opts_all,
+                    timeout=max(120.0, remaining() - 60))
+        got = dict(r.get("partials") or {})
+        if r.get("ok"):
+            got.update(r["results"])
+        for k, v in got.items():
+            if k.startswith("err_"):
+                errors.append(f"{k[4:]}: {v}")
+            elif v is not None:
+                _STATE[k] = v
+        prim_ips = _STATE.get("pallas_ips")
+        if not r.get("ok"):
+            errors.append(f"tpu_all: {r.get('error')}")
+        if not r.get("ok") and prim_ips is None and remaining() > 120:
+            # total chain failure before the primary landed: one fresh
+            # primary-only retry (fresh process = fresh tunnel context)
+            note(f"tpu_all failed with no primary: {r.get('error')}")
+            r2 = run_sub(
+                "hand_chain",
+                dict(base, backend=backend, capacity=capacity,
+                     width=width, height=height, gt_out=gt_path,
+                     skip_xla=True,
+                     gt_in=gt_path if os.path.exists(gt_path) else None),
+                timeout=max(90.0, remaining() - 30))
+            got2 = dict(r2.get("partials") or {})
+            if r2.get("ok"):
+                got2.update(r2["results"])
+            _STATE.update({k: v for k, v in got2.items()
+                           if v is not None and not k.startswith("err_")})
+            prim_ips = _STATE.get("pallas_ips")
+            if prim_ips is None:
+                errors.append(f"primary retry: {r2.get('error')}")
+
+    if not on_tpu and remaining() > 90:
+        # CPU-forced run: the tiny workload is the primary (not a
+        # degradation), matching the sizes chosen above
         r = run_sub("hand_chain",
                     dict(base, backend=backend, capacity=capacity,
-                         width=width, height=height, gt_out=gt_path,
-                         want_mem=attempt == 0,
-                         gt_in=gt_path if have_gt else None),
-                    timeout=max(90.0, min(remaining() - 30, 1000.0)))
+                         width=width, height=height, want_mem=True),
+                    timeout=max(90.0, min(remaining() - 30, 600.0)))
         got = dict(r.get("partials") or {})
         if r.get("ok"):
             got.update(r["results"])
         _STATE.update({k: v for k, v in got.items() if v is not None})
         prim_ips = _STATE.get("pallas_ips")
-        xla_ips = _STATE.get("xla_ips")
-        if r.get("ok") or (prim_ips and xla_ips):
-            break
-        if prim_ips:  # primary landed; only the xla leg is missing
-            errors.append(f"xla leg: {r.get('error')}")
-            note(f"primary landed, xla leg missed: {r.get('error')}")
-            break
-        errors.append(f"primary attempt {attempt + 1}: {r.get('error')}")
-        note(f"primary attempt {attempt + 1} failed: {r.get('error')}")
-        if attempt < 2 and remaining() > 240:
-            wait = 90 * (attempt + 1)
-            note(f"backing off {wait}s before a fresh process")
-            time.sleep(wait)
+        if prim_ips is None:
+            errors.append(f"cpu primary: {r.get('error')}")
 
     # --- degradation ladder: reduced capacity on TPU, then CPU, so some
     # hardware-adjacent number always lands (loudly flagged) ---
@@ -907,6 +990,7 @@ def orchestrate() -> dict:
             errors.append(f"cpu fallback: {r.get('error')}")
 
     _STATE.update(pallas_ips=prim_ips, degraded=degraded)
+    xla_ips = _STATE.get("xla_ips")
     if prim_ips:
         note(f"hand {backend}{' [' + degraded + ']' if degraded else ''}: "
              f"{prim_ips:.1f} it/s"
@@ -954,63 +1038,60 @@ def orchestrate() -> dict:
                 time.sleep(60)  # a killed TPU child can wedge the chip briefly
         return None
 
-    # --- flagship chain (voxel + lpips in one child): the round's
-    # decision numbers, immediately after vs_baseline ---
-    if on_tpu and healthy and remaining() > 200:
-        flag_gt = await_gt("flag", gt_flag_path,
-                           min(remaining() * 0.2, 120.0))
+    # --- patch holes (fresh processes) in the same priority order the
+    # chain ran: xla fallback (vs_baseline), flagship voxel, flagship
+    # lpips, object. Normally the chain landed these; retries only fire
+    # when it died early with budget left. ---
+    if on_tpu and healthy:
+        if _STATE.get("xla_ips") is None and remaining() > 300:
+            r = run_sub("hand",
+                        dict(base, backend="xla", capacity=capacity,
+                             width=width, height=height,
+                             iters=max(iters // 4, 2), gt_in=gt_path),
+                        timeout=max(90.0, min(remaining() - 20, 600.0)))
+            if r.get("ok"):
+                _STATE["xla_ips"] = r["results"]["ips"]
+            else:
+                errors.append(f"xla retry: {r.get('error')}")
         flag_opts = dict(base, capacity=1 << 17, width=512, height=512,
                          voxel_res=96, iters=max(iters // 2, 4),
-                         part="both", want_mem=True,
-                         gt_in=gt_flag_path if flag_gt else None)
-        attempt_section("flagship", "flagship", flag_opts, min_budget=200,
-                        gt=("flag", gt_flag_path), cap=1000.0,
-                        partial_keys=("flag_ips", "flag_lpips_ips"))
-        if _STATE.get("flag_ips"):
-            note(f"flagship voxel: {_STATE['flag_ips']:.1f} it/s "
-                 f"({1e3 / _STATE['flag_ips']:.1f} ms/step)")
-        if _STATE.get("flag_lpips_ips"):
-            note(f"flagship voxel + lpips: "
-                 f"{_STATE['flag_lpips_ips']:.1f} it/s "
-                 f"({1e3 / _STATE['flag_lpips_ips']:.1f} ms/step)")
-        elif _STATE.get("flag_ips") and remaining() > 250:
-            # voxel landed but the lpips leg missed: one lpips-only retry
-            r = attempt_section(
-                "flagship lpips", "flagship",
-                dict(flag_opts, part="lpips"), min_budget=250, attempts=1,
-                gt=("flag", gt_flag_path), cap=900.0)
-            if _STATE.get("flag_lpips_ips"):
-                note(f"flagship voxel + lpips: "
-                     f"{_STATE['flag_lpips_ips']:.1f} it/s "
-                     f"({1e3 / _STATE['flag_lpips_ips']:.1f} ms/step)")
-    else:
-        note("skipping flagship (budget/health)")
-
-    # --- xla retry: only if the chain's xla leg missed (vs_baseline
-    # feeds off it). Reuses the primary GT; compile measured ~270s. ---
-    if (on_tpu and healthy and xla_ips is None
-            and _STATE.get("xla_ips") is None and remaining() > 300):
-        r = run_sub("hand", dict(base, backend="xla", capacity=capacity,
-                                 width=width, height=height,
-                                 iters=max(iters // 4, 2), gt_in=gt_path),
-                    timeout=max(90.0, min(remaining() - 20, 600.0)))
-        if r.get("ok"):
-            _STATE["xla_ips"] = r["results"]["ips"]
-            note(f"xla fallback: {_STATE['xla_ips']:.2f} it/s")
-        else:
-            errors.append(f"xla retry: {r.get('error')}")
-
-    if healthy and remaining() > 240:
+                         want_mem=True, gt_in=gt_flag_path, gt_wait=60.0)
+        if _STATE.get("flag_ips") is None and remaining() > 300:
+            attempt_section("flagship retry", "flagship",
+                            dict(flag_opts, part="both"), min_budget=300,
+                            attempts=1, cap=900.0)
+        elif (_STATE.get("flag_ips") and
+              _STATE.get("flag_lpips_ips") is None and remaining() > 250):
+            attempt_section("flagship lpips retry", "flagship",
+                            dict(flag_opts, part="lpips"), min_budget=250,
+                            attempts=1, cap=900.0)
+        if _STATE.get("obj_ips") is None and remaining() > 240:
+            r = run_sub("object",
+                        dict(base, backend=backend, capacity=capacity,
+                             width=width, height=height),
+                        timeout=max(90.0, min(remaining() - 30, 600.0)))
+            if r.get("ok"):
+                _STATE["obj_ips"] = r["results"]["ips"]
+            else:
+                errors.append(f"object retry: {r.get('error')}")
+    elif healthy and remaining() > 240:
+        # CPU path: object only (the tpu_all chain did not run)
         r = run_sub("object", dict(base, backend=backend, capacity=capacity,
                                    width=width, height=height),
                     timeout=max(90.0, min(remaining() - 30, 600.0)))
         if r.get("ok"):
             _STATE["obj_ips"] = r["results"]["ips"]
-            note(f"object: {_STATE['obj_ips']:.1f} it/s")
         else:
             errors.append(f"object: {r.get('error')}")
-    else:
-        note("skipping object (budget/health)")
+
+    xla_ips = _STATE.get("xla_ips")
+    for key, label, fmt in (("xla_ips", "xla fallback", "{:.2f} it/s"),
+                            ("flag_ips", "flagship voxel", "{:.1f} it/s"),
+                            ("flag_lpips_ips", "flagship + lpips",
+                             "{:.1f} it/s"),
+                            ("obj_ips", "object", "{:.1f} it/s")):
+        if _STATE.get(key) is not None:
+            note(f"{label}: {fmt.format(_STATE[key])}")
 
     # --- 720p LAST (VERDICT r4 item 1): the most expensive compile
     # (~840s on a clear queue) and the least decision-relevant number;
