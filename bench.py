@@ -841,7 +841,8 @@ def orchestrate() -> dict:
     # --- device probe (retry; a SIGKILLed predecessor can wedge the chip
     # for a minute or two — CLAUDE.md) ---
     probe = None
-    for attempt in range(3):
+    for attempt in range(2):  # 3 x 240s timeouts ate 720s of a wedged
+        # session (round 5); two failures already say the queue is gone
         r = run_sub("probe", {"force_cpu": force_cpu},
                     timeout=max(60.0, min(240.0, remaining())))
         if r.get("ok"):
@@ -852,7 +853,7 @@ def orchestrate() -> dict:
         note(f"probe failed: {r.get('error')}")
         # a timed-out attempt already waited its full window; only
         # non-timeout failures (wedged chip after a SIGKILL) back off
-        if attempt < 2 and remaining() > 150 and not r.get("timed_out"):
+        if attempt < 1 and remaining() > 150 and not r.get("timed_out"):
             time.sleep(30 * (attempt + 1))
     on_tpu = (probe or {}).get("backend") == "tpu"
     if probe is None:
@@ -917,8 +918,10 @@ def orchestrate() -> dict:
             "object": dict(base, backend=backend, capacity=capacity,
                            width=width, height=height),
         }
+        # reserve a 120s tail: enough for the CPU-fallback number that
+        # must always land (a 60s reserve left 58s and the gate missed)
         r = run_sub("tpu_all", opts_all,
-                    timeout=max(120.0, remaining() - 60))
+                    timeout=max(120.0, remaining() - 120))
         got = dict(r.get("partials") or {})
         if r.get("ok"):
             got.update(r["results"])
@@ -977,12 +980,12 @@ def orchestrate() -> dict:
             degraded = "tpu_16384g_256px"
         else:
             errors.append(f"reduced: {r.get('error')}")
-    if prim_ips is None and remaining() > 60:
+    if prim_ips is None and remaining() > 20:
         note("degrading to CPU workload")
         r = run_sub("hand", {"force_cpu": True, "backend": "xla",
                              "capacity": 2048, "width": 128, "height": 128,
                              "views": 1, "warmup": 1, "iters": 3},
-                    timeout=max(60.0, min(remaining() - 10, 240.0)))
+                    timeout=max(60.0, min(remaining() - 5, 240.0)))
         if r.get("ok"):
             prim_ips = r["results"]["ips"]
             degraded = "cpu_xla_2048g_128px"
