@@ -26,7 +26,7 @@ BASE = [
     "dataset.width=512", "dataset.height=512",
     "dataset.num_cameras=12", "dataset.num_frames=4",
     "dataset.grid_res=96", "capacity=131072",
-    "dataset.sample_size=6000",
+    "dataset.sample_size=4000",  # x(bones+joints)=30 -> 120k init <= 131k cap
     "trainer.max_steps=2000", "trainer.val_every=500",
     "trainer.checkpoint_every=0", "trainer.log_every=200",
     "model.start_lpips_iter=1000",
