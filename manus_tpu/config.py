@@ -147,6 +147,12 @@ class RasterOptions:
     #               near-perfect pair balance on ANY occupancy, at the
     #               cost of ~1e-4-bounded deviation at the transmittance
     #               termination boundary (not bit-exact).
+    # Measured trade-off (scripts/balance_tpu.py, on-chip, clustered
+    # 65k scene at 10/1024 tiles): owner time max/mean 1.23 with pair
+    # skew 1.98; pairslice time max/mean 1.03 — but every pairslice
+    # column sweeps the FULL tile grid (~1us/tile empty-tile dispatch),
+    # so owner wins absolute wall time on SPARSE scenes while pairslice
+    # wins when per-pair work dominates (dense captures, deep tiles).
     tile_shard_mode: str = "owner"
 
 
