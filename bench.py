@@ -528,6 +528,7 @@ def section_hand_chain(opts):
     note(f"primary landed in child: {results['pallas_ips']} it/s")
     emit_partial(**results)
     if opts["backend"] != "xla" and not opts.get("skip_xla"):
+        note("starting xla fallback leg")
         step2, state2, batch2 = build_workload(
             "xla", opts["capacity"], opts["width"], opts["height"],
             opts["views"], gt=batch["rgb"],
@@ -536,6 +537,7 @@ def section_hand_chain(opts):
                              max(opts["iters"] // 4, 2))
         results["xla_ips"] = round(ips2, 3)
         emit_partial(xla_ips=results["xla_ips"])
+        note(f"xla fallback landed in child: {results['xla_ips']} it/s")
     return results
 
 
@@ -554,10 +556,12 @@ def section_flagship(opts):
     results = {}
 
     if part in ("voxel", "both"):
+        note("starting flagship voxel leg (131k/512^2/96^3)")
         step, state, batch = build_workload(
             backend, opts["capacity"], opts["width"], opts["height"],
             opts["views"], voxel_res=opts["voxel_res"], gt=gt,
         )
+        note("flagship voxel scene staged; compiling step")
         if opts.get("gt_out"):
             _save_gt(opts["gt_out"], batch["rgb"])
         if opts.get("gt_only"):
@@ -569,9 +573,11 @@ def section_flagship(opts):
         results["flag_ips"] = round(ips, 3)
         results["flag_hbm"] = mem
         emit_partial(**results)
+        note(f"flagship voxel landed in child: {results['flag_ips']} it/s")
         del step, state, batch
 
     if part in ("lpips", "both"):
+        note("starting flagship lpips leg")
         from manus_tpu.train.lpips import random_lpips_params
 
         lpips_params = random_lpips_params(0, arch="vgg")
