@@ -666,6 +666,14 @@ SECTIONS = {
 
 
 def child_main(section: str, opts: dict) -> int:
+    # graceful SIGTERM: run finalizers (jax client teardown closes the
+    # tunnel connection) instead of dying mid-RPC; a child stuck inside
+    # a C call won't see it and the parent escalates to SIGKILL after
+    # its grace window
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+    except (ValueError, OSError):
+        pass
     if opts.get("force_cpu"):
         import jax
 
@@ -725,8 +733,16 @@ def run_sub(section: str, opts: dict, timeout: float) -> dict:
     try:
         out, _ = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
-        proc.kill()
-        out, _ = proc.communicate()  # buffered pipe: partial lines survive
+        # SIGTERM first with a short grace: a SIGKILLed client leaves the
+        # tunnel/device wedged for minutes (CLAUDE.md), and round-5 runs
+        # saw the NEXT session's probes time out right after hard kills.
+        # A terminated child closes its connection cleanly.
+        proc.terminate()
+        try:
+            out, _ = proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
         timed_out = True
     finally:
         _CURRENT_CHILD = None
