@@ -153,7 +153,13 @@ class RasterOptions:
     # column sweeps the FULL tile grid (~1us/tile empty-tile dispatch),
     # so owner wins absolute wall time on SPARSE scenes while pairslice
     # wins when per-pair work dominates (dense captures, deep tiles).
+    #   hybrid    — owner's dealt tiles PLUS the hot_split_tiles deepest
+    #               tiles depth-split across columns (picked per frame by
+    #               top_k on pair counts): owner's T/n sweep with
+    #               pairslice's balance exactly where imbalance lives;
+    #               only the split tiles carry the ~1e-4 deviation.
     tile_shard_mode: str = "owner"
+    hot_split_tiles: int = 8  # "hybrid": how many deepest tiles to split
 
 
 @dataclasses.dataclass

@@ -47,8 +47,15 @@ class RasterConfig(NamedTuple):
     # gauss-axis composite split: "owner" (static tile ownership,
     # bit-exact) | "pairslice" (equal pair-slice per column + associative
     # segment combine — balanced on clustered scenes, ~1e-4 deviation at
-    # the termination boundary). See config.RasterOptions.
+    # the termination boundary) | "hybrid" (owner tiles + the
+    # hot_split_tiles deepest tiles depth-split across columns — the T/n
+    # grid sweep of owner with pairslice's pair balance where it
+    # matters). See config.RasterOptions.
     tile_shard_mode: str = "owner"
+    # "hybrid" mode: how many of the deepest tiles are depth-split
+    # across the gauss columns (selected per frame by top_k on the tile
+    # pair counts)
+    hot_split_tiles: int = 8
 
 
 class RenderOutput(NamedTuple):
@@ -203,10 +210,18 @@ def render_gaussians(
             and gauss_axis_size > 1
             and config.tile_shard_mode == "pairslice"
         )
+        hybrid = (
+            gauss_axis is not None
+            and gauss_axis_size > 1
+            and config.tile_shard_mode == "hybrid"
+            and config.hot_split_tiles > 0
+            and num_tiles % gauss_axis_size == 0
+        )
         shard_tiles = (
             gauss_axis is not None
             and gauss_axis_size > 1
             and not pairslice
+            and not hybrid
             and num_tiles % gauss_axis_size == 0
         )
         bins = bin_gaussians(
@@ -265,6 +280,40 @@ def render_gaussians(
             )
             col = jax.lax.axis_index(gauss_axis)
             tids = jnp.asarray(owned_np)[col]  # [T_local] global ids
+        hot_ids = None
+        if hybrid:
+            # Owner tiles + hot-tile depth split (the best of both
+            # gauss-split modes, closing the measured trade-off: owner's
+            # T/n grid sweep per column, pairslice's pair balance on the
+            # tiles where imbalance lives). The K deepest tiles (top_k on
+            # the budget-clamped counts — traced, re-picked every frame)
+            # are zeroed out of their owner's normal slot and every
+            # column instead composites an equal DEPTH RANGE of each; the
+            # K partial segments over-compose across columns below.
+            # Non-hot tiles keep the bit-exact owner path; hot tiles
+            # carry pairslice's ~1e-4 termination-boundary deviation.
+            from manus_tpu.ops.rasterizer.binning import tile_owner_tables
+
+            _, _, owned_np, perm_np = tile_owner_tables(
+                ntx, nty, gauss_axis_size
+            )
+            col = jax.lax.axis_index(gauss_axis)
+            k_hot = min(config.hot_split_tiles, num_tiles)
+            hot_cnt, hot_ids = jax.lax.top_k(bins.tile_counts, k_hot)
+            hot_off = jnp.take(bins.tile_offsets, hot_ids)
+            share = -(-hot_cnt // gauss_axis_size)  # ceil per-column
+            sub_off = hot_off + jnp.minimum(col * share, hot_cnt)
+            sub_end = hot_off + jnp.minimum((col + 1) * share, hot_cnt)
+            owned_ids = jnp.asarray(owned_np)[col]  # [T_local]
+            own_off = jnp.take(bins.tile_offsets, owned_ids)
+            own_cnt = jnp.take(bins.tile_counts, owned_ids)
+            own_cnt = jnp.where(
+                jnp.any(owned_ids[:, None] == hot_ids[None, :], axis=1),
+                0, own_cnt,
+            )
+            offs = jnp.concatenate([own_off, sub_off])
+            cnts = jnp.concatenate([own_cnt, sub_end - sub_off])
+            tids = jnp.concatenate([owned_ids, hot_ids])
         if backend == "pallas":
             from manus_tpu.ops.rasterizer import pallas_backend
 
@@ -274,27 +323,26 @@ def render_gaussians(
             )
         elif backend == "xla":
             rgb_tiles, t_tiles = tiled_xla.composite_tiles_xla(
-                pay, bins, ntx, nty, TILE, config.max_pairs_per_tile,
+                pay, bins._replace(tile_offsets=offs, tile_counts=cnts),
+                ntx, nty, TILE, config.max_pairs_per_tile,
                 chunk=config.chunk,
-                num_tiles_local=offs.shape[0] if shard_tiles else None,
+                num_tiles_local=(offs.shape[0]
+                                 if shard_tiles or hybrid else None),
                 tile_ids=tids,
             )
         else:
             raise ValueError(f"unknown backend {backend}")
-        if pairslice:
-            # Ordered over-compose of the per-column partial segments:
+        def _over_compose(rgb_parts, t_parts):
+            # Ordered over-compose of per-column partial segments:
             # column order == global pair order == depth order within
             # every tile, and (rgb, T) composition is associative
             # (out = rgb_a + T_a * rgb_b, T = T_a * T_b). The 1e-4
-            # transmittance termination is applied at slice granularity
+            # transmittance termination is applied at part granularity
             # (a later column's contribution is dropped once the running
             # T has crossed it) — the in-kernel mid-slice cut cannot be
-            # reproduced across columns, so pairslice deviates from the
+            # reproduced across columns, so split tiles deviate from the
             # bit-exact single-device image by at most ~1e-4-weighted
             # contributions (documented in RasterConfig).
-            rgb_parts = jax.lax.all_gather(rgb_tiles, gauss_axis)
-            t_parts = jax.lax.all_gather(t_tiles, gauss_axis)
-
             def comb(carry, xs):
                 rgb_c, t_c = carry
                 r2, t2 = xs
@@ -305,10 +353,37 @@ def render_gaussians(
                 t_c = jnp.where(go, t_c * t2, t_c)
                 return (rgb_c, t_c), None
 
-            (rgb_tiles, t_tiles), _ = jax.lax.scan(
+            (rgb_c, t_c), _ = jax.lax.scan(
                 comb, (rgb_parts[0], t_parts[0]),
                 (rgb_parts[1:], t_parts[1:]),
             )
+            return rgb_c, t_c
+
+        if pairslice:
+            rgb_tiles, t_tiles = _over_compose(
+                jax.lax.all_gather(rgb_tiles, gauss_axis),
+                jax.lax.all_gather(t_tiles, gauss_axis),
+            )
+        if hybrid:
+            # owned slots reassemble exactly like owner mode; the K hot
+            # slots over-compose across columns and overwrite their
+            # tiles' (empty) owner results
+            t_loc = owned_np.shape[1]
+            own_rgb = jax.lax.all_gather(
+                rgb_tiles[:t_loc], gauss_axis, tiled=True
+            )
+            own_t = jax.lax.all_gather(
+                t_tiles[:t_loc], gauss_axis, tiled=True
+            )
+            perm = jnp.asarray(perm_np)
+            own_rgb = jnp.take(own_rgb, perm, axis=0)
+            own_t = jnp.take(own_t, perm, axis=0)
+            hot_rgb, hot_t = _over_compose(
+                jax.lax.all_gather(rgb_tiles[t_loc:], gauss_axis),
+                jax.lax.all_gather(t_tiles[t_loc:], gauss_axis),
+            )
+            rgb_tiles = own_rgb.at[hot_ids].set(hot_rgb)
+            t_tiles = own_t.at[hot_ids].set(hot_t)
         if shard_tiles:
             rgb_tiles = jax.lax.all_gather(rgb_tiles, gauss_axis, tiled=True)
             t_tiles = jax.lax.all_gather(t_tiles, gauss_axis, tiled=True)

@@ -142,6 +142,7 @@ def make_raster_config(cfg: ExperimentConfig) -> RasterConfig:
         pair_budget_factor=cfg.raster.pair_budget_factor,
         multi_frac=cfg.raster.multi_frac,
         tile_shard_mode=cfg.raster.tile_shard_mode,
+        hot_split_tiles=cfg.raster.hot_split_tiles,
     )
 
 

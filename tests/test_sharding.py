@@ -248,3 +248,46 @@ def test_pairslice_gauss4_matches_plain(hand_setup):
     )
     # binning runs unsharded in pairslice mode -> overflow totals global
     assert int(metrics_ps["pair_overflow"]) == int(metrics1["pair_overflow"])
+
+
+def test_hybrid_gauss4_matches_plain(hand_setup):
+    """raster.tile_shard_mode=hybrid: owner tiles + the hot_split_tiles
+    deepest tiles depth-split across columns. Only split tiles carry the
+    ~1e-4 termination-boundary deviation; the full train step must match
+    single-device at the same tolerance as pairslice."""
+    import copy
+
+    from manus_tpu.train.workloads import make_train_step
+
+    tr = hand_setup
+    batch = tr.sample_batch()
+    state1, metrics1 = tr.train_step(tr.state, batch)
+
+    cfg = copy.deepcopy(tr.cfg)
+    cfg.raster = dataclasses.replace(
+        cfg.raster, tile_shard_mode="hybrid", hot_split_tiles=4
+    )
+    mesh = make_mesh(n_data=2, n_gauss=4)
+    sharded_step = make_train_step(
+        cfg, tr.dataset.extent, articulated=True, voxel_grid=None,
+        mesh=mesh,
+    )
+    with mesh:
+        state_r = replicate_state(tr.state, mesh)
+        batch_r = shard_batch(batch, mesh)
+        state_h, metrics_h = sharded_step(state_r, batch_r)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_h["loss"]), rtol=1e-4
+    )
+    for name in ("opacity", "xyz", "scaling"):
+        a = np.asarray(getattr(state1.model.params, name))
+        b = np.asarray(getattr(state_h.model.params, name))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=f"param mismatch: {name}")
+    np.testing.assert_allclose(
+        np.asarray(state1.stats.grad_accum),
+        np.asarray(state_h.stats.grad_accum), atol=1e-4,
+    )
+    assert int(metrics_h["pair_overflow"]) == int(metrics1["pair_overflow"])
