@@ -143,6 +143,38 @@ def main():
         rows.append((t, int(all_counts[tids_np].sum())))
     report("owner", rows)
 
+    # hybrid mode: owner tiles + the K deepest tiles depth-split
+    k_hot = 8
+    hot = np.argsort(-all_counts)[:k_hot]
+    hot_cnt = all_counts[hot]
+    share = -(-hot_cnt // N_COLS)
+    rows = []
+    for c in range(N_COLS):
+        tids_np = owned_np[c]
+        own_cnt = np.where(np.isin(tids_np, hot), 0,
+                           all_counts[tids_np]).astype(np.int32)
+        sub_off = (all_offs[hot]
+                   + np.minimum(c * share, hot_cnt)).astype(np.int32)
+        sub_cnt = (np.minimum((c + 1) * share, hot_cnt)
+                   - np.minimum(c * share, hot_cnt)).astype(np.int32)
+        offs_np = np.concatenate([all_offs[tids_np], sub_off])
+        cnts_np = np.concatenate([own_cnt, sub_cnt])
+        ids_np = np.concatenate([tids_np, hot]).astype(np.int32)
+        offs = jnp.asarray(offs_np)
+        cnts = jnp.asarray(cnts_np)
+        tids = jnp.asarray(ids_np)
+
+        def fwd(payload, offs, cnts, tids):
+            rgb, tfin = composite_tiles_pallas(
+                payload, offs, cnts, nt, nt, tile=TILE, chunk=CHUNK,
+                tile_ids=tids,
+            )
+            return (jnp.sum(rgb) + jnp.sum(tfin)) * 1e-9
+
+        t = chain_time(fwd, pay, offs, cnts, tids)
+        rows.append((t, int(cnts_np.sum())))
+    report("hybrid", rows)
+
     # pairslice mode: column c composites slice [c*S, (c+1)*S) over the
     # full grid (clipped segments; lane-aligned slice width)
     p = int(bins.pair_src.shape[0])
