@@ -243,7 +243,8 @@ def perturb_model(model, seed=1, pos_sigma=0.004, col_sigma=0.1):
 
 def build_workload(backend: str, capacity: int, width: int, height: int,
                    views: int, gt=None, voxel_res: int = 0,
-                   lpips_params=None, return_parts: bool = False):
+                   lpips_params=None, return_parts: bool = False,
+                   voxel_grid=None):
     """Hand-module training workload.
 
     voxel_res > 0 builds the FLAGSHIP configuration: a res^3 MANO voxel
@@ -306,15 +307,22 @@ def build_workload(backend: str, capacity: int, width: int, height: int,
         chunk=64, pallas_chunk=128, pair_budget_factor=2, multi_frac=0.25,
     )
 
-    voxel_grid = None
     if voxel_res:
-        from manus_tpu.data.voxel import build_voxel_grid
+        if voxel_grid is None:
+            # EXPENSIVE on the tunneled device (~900s measured round 5:
+            # a ~1M-point KNN + 0.6GB brick staging): the orchestrator's
+            # host GT child pre-builds the grid and ships it in the npz
+            from manus_tpu.data.voxel import build_voxel_grid
 
-        kp_rest = np.concatenate([skel["rest_heads"][:1], skel["rest_tails"]])
-        voxel_grid = build_voxel_grid(
-            kp_rest, res=voxel_res, num_bones=j
-        )
+            kp_rest = np.concatenate(
+                [skel["rest_heads"][:1], skel["rest_tails"]]
+            )
+            voxel_grid = build_voxel_grid(
+                kp_rest, res=voxel_res, num_bones=j
+            )
         skin = None  # voxel mode resamples weights from the grid per step
+    else:
+        voxel_grid = None
     model = init_gaussian_model(pts, cols, capacity, skin_weights=skin)
 
     center = skel["rest_heads"].mean(axis=0)
@@ -555,15 +563,19 @@ def section_flagship(opts):
     gt = _load_gt(opts.get("gt_in"), opts.get("gt_wait", 0.0))
     results = {}
 
+    vg = _load_voxel_grid(opts.get("gt_in"))
     if part in ("voxel", "both"):
-        note("starting flagship voxel leg (131k/512^2/96^3)")
-        step, state, batch = build_workload(
+        note("starting flagship voxel leg (131k/512^2/96^3)"
+             + (" [host-built voxel grid]" if vg is not None else ""))
+        step, state, batch, parts = build_workload(
             backend, opts["capacity"], opts["width"], opts["height"],
             opts["views"], voxel_res=opts["voxel_res"], gt=gt,
+            voxel_grid=vg, return_parts=True,
         )
+        vg = parts["voxel_grid"]
         note("flagship voxel scene staged; compiling step")
         if opts.get("gt_out"):
-            _save_gt(opts["gt_out"], batch["rgb"])
+            _save_gt(opts["gt_out"], batch["rgb"], voxel_grid=vg)
         if opts.get("gt_only"):
             return {"gt": "saved"}
         gt = batch["rgb"]  # reuse for the lpips leg
@@ -584,7 +596,7 @@ def section_flagship(opts):
         step, state, batch = build_workload(
             backend, opts["capacity"], opts["width"], opts["height"],
             opts["views"], voxel_res=opts["voxel_res"], gt=gt,
-            lpips_params=lpips_params,
+            lpips_params=lpips_params, voxel_grid=vg,
         )
         ips, _ = time_iters(step, state, batch, opts["warmup"],
                             opts["iters"])
@@ -649,10 +661,40 @@ def _load_gt(path, wait_s: float = 0.0):
     return jnp.asarray(np.load(path)["gt"])
 
 
-def _save_gt(path, arr) -> None:
+def _save_gt(path, arr, voxel_grid=None) -> None:
+    fields = {"gt": np.asarray(arr)}
+    if voxel_grid is not None:
+        fields.update(
+            vg_center=np.asarray(voxel_grid.center),
+            vg_scale=np.asarray(voxel_grid.scale),
+            vg_weights=np.asarray(voxel_grid.weights),
+        )
+        if voxel_grid.brick is not None:
+            fields["vg_brick"] = np.asarray(voxel_grid.brick)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, gt=np.asarray(arr))
+    np.savez(tmp, **fields)
     os.replace(tmp, path)
+
+
+def _load_voxel_grid(path):
+    """Voxel grid shipped by the host GT child (see _save_gt). Returns a
+    VoxelGrid with on-device leaves, or None."""
+    if not (path and os.path.exists(path)):
+        return None
+    data = np.load(path)
+    if "vg_weights" not in data.files:
+        return None
+    import jax.numpy as jnp
+
+    from manus_tpu.train.workloads import VoxelGrid
+
+    return VoxelGrid(
+        center=jnp.asarray(data["vg_center"]),
+        scale=jnp.asarray(data["vg_scale"]),
+        weights=jnp.asarray(data["vg_weights"]),
+        brick=jnp.asarray(data["vg_brick"])
+        if "vg_brick" in data.files else None,
+    )
 
 
 SECTIONS = {
